@@ -1,0 +1,135 @@
+"""Mention/triple extraction: the GraphGen record grammar, emitted and
+parsed deterministically.
+
+The reference drives an LLM with KG_EXTRACTION_PROMPT and parses the
+response (``graphgen/models/kg_builder/light_rag_kg_builder.py:66-98``,
+``graphgen/utils/format.py:38-80``).  Grammar (``templates/kg/
+kg_extraction.py:201-207``): records separated by ``##`` and terminated
+by ``<|COMPLETE|>``; each record is ``("entity"<|>NAME<|>TYPE<|>SUMMARY)``
+or ``("relationship"<|>SRC<|>TGT<|>SUMMARY)`` or
+``("content_keywords"<|>KWS)``.
+
+Two halves, both pure Python (called from Arrow-batched pandas UDFs):
+
+- ``mock_llm_response(content)`` — the deterministic no-network stand-in
+  for the LLM: pattern-matches relation sentences of the synthetic
+  corpus grammar and emits a response string in the EXACT record
+  grammar above (so the parse path is exercised end to end).
+- ``parse_extraction_response(response, chunk_id)`` — reference-parity
+  parser producing entity and relation dicts.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+from graphgen_spark.synth import ENTITY_TYPES, VERBS_EN, VERBS_ZH, _choice
+from graphgen_spark.textkit import clean_str, split_multi_markers
+
+TUPLE_DELIM = "<|>"
+RECORD_DELIM = "##"
+COMPLETION_DELIM = "<|COMPLETE|>"
+
+_ALIAS_PAT = r"(?:The )?[A-Z][\w-]*(?: [A-Z0-9][\w-]*)*"
+_VERBS_EN_ALT = "|".join(
+    re.escape(v) for v in sorted(VERBS_EN, key=len, reverse=True)
+)
+_VERBS_ZH_ALT = "|".join(
+    re.escape(v) for v in sorted(VERBS_ZH, key=len, reverse=True)
+)
+_REL_EN_RE = re.compile(
+    rf"({_ALIAS_PAT}) ({_VERBS_EN_ALT}) ({_ALIAS_PAT})\."
+)
+_REL_ZH_RE = re.compile(
+    rf"({_ALIAS_PAT})({_VERBS_ZH_ALT})({_ALIAS_PAT})。"
+)
+
+
+def find_relation_sentences(content: str) -> List[Tuple[str, str, str, str]]:
+    """(src_alias, verb, tgt_alias, sentence) for every relation-grammar
+    sentence in the chunk, in document order."""
+    out = []
+    for regex, zh in ((_REL_EN_RE, False), (_REL_ZH_RE, True)):
+        for m in regex.finditer(content):
+            src, verb, tgt = m.group(1), m.group(2), m.group(3)
+            out.append((src, verb, tgt, m.group(0)))
+    return out
+
+
+def mock_entity_type(alias: str) -> str:
+    return _choice(ENTITY_TYPES, "atype", alias)
+
+
+def mock_llm_response(content: str) -> str:
+    """Deterministic LLM stand-in: emits the GraphGen record grammar for
+    every relation sentence found in the chunk.  Empty string when the
+    chunk holds no extractable relations (the parser yields nothing)."""
+    matches = find_relation_sentences(content)
+    if not matches:
+        return ""
+    records: List[str] = []
+    seen_entities = set()
+    keywords = set()
+    for src, verb, tgt, sent in matches:
+        for alias in (src, tgt):
+            if alias not in seen_entities:
+                seen_entities.add(alias)
+                etype = mock_entity_type(alias)
+                records.append(
+                    f'("entity"{TUPLE_DELIM}"{alias}"{TUPLE_DELIM}'
+                    f'"{etype}"{TUPLE_DELIM}"{alias} is mentioned in: {sent}")'
+                )
+        records.append(
+            f'("relationship"{TUPLE_DELIM}"{src}"{TUPLE_DELIM}'
+            f'"{tgt}"{TUPLE_DELIM}"{src} {verb} {tgt}")'
+        )
+        keywords.add(verb)
+    records.append(
+        f'("content_keywords"{TUPLE_DELIM}"{", ".join(sorted(keywords))}")'
+    )
+    return f"{RECORD_DELIM}\n".join(records) + COMPLETION_DELIM
+
+
+def parse_extraction_response(
+    response: str, chunk_id: str
+) -> Tuple[List[Dict], List[Dict]]:
+    """Reference-parity parse of an extraction response.
+
+    Mirrors ``light_rag_kg_builder.py:66-98``: split records on
+    ``##``/``<|COMPLETE|>``, take the parenthesized body, split fields
+    on ``<|>``; entities require the literal quoted tag ``"entity"``
+    and >=4 fields; names/types are clean_str(UPPER), descriptions
+    clean_str (``format.py:38-80``).
+    """
+    entities: List[Dict] = []
+    relations: List[Dict] = []
+    for record in split_multi_markers(
+        response, [RECORD_DELIM, COMPLETION_DELIM]
+    ):
+        m = re.search(r"\((.*)\)", record)
+        if not m:
+            continue
+        attrs = split_multi_markers(m.group(1), [TUPLE_DELIM])
+        if len(attrs) >= 4 and attrs[0] == '"entity"':
+            name = clean_str(attrs[1].upper())
+            if not name.strip():
+                continue
+            entities.append(
+                {
+                    "entity_name": name,
+                    "entity_type": clean_str(attrs[2].upper()),
+                    "description": clean_str(attrs[3]),
+                    "source_id": chunk_id,
+                }
+            )
+        elif len(attrs) >= 4 and attrs[0] == '"relationship"':
+            relations.append(
+                {
+                    "src_id": clean_str(attrs[1].upper()),
+                    "tgt_id": clean_str(attrs[2].upper()),
+                    "description": clean_str(attrs[3]),
+                    "source_id": chunk_id,
+                }
+            )
+    return entities, relations

@@ -1,0 +1,142 @@
+"""Connected components as iterative DataFrame joins (GraphFrames-style
+alternating large-star / small-star, Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).
+
+Replaces the reference's single-process NetworkX
+``nx.connected_components`` (``storage/graph/networkx_storage.py:28-37``)
+and Kuzu union-find (``storage/graph/kuzu_storage.py:120-150``) with an
+O(log n)-round distributed fixpoint: every round is two hash shuffles
+(groupBy min + join), lineage is cut with ``localCheckpoint`` each
+round so plans stay bounded, and convergence is checked with a cheap
+count+hash aggregate.
+
+String vertex ids are mapped to int64 via xxhash64 (collision odds are
+~n²/2⁶⁵ — negligible for entity vocabularies; document ids never enter
+the graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to the
+    minimum of Γ(u) ∪ {u}."""
+    both = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        both.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", "src").alias("m"))
+    )
+    return (
+        both.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large→small; connect all smaller neighbors and
+    the center to the minimum neighbor."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(
+            F.explode(F.array(F.col("v"), F.col("u"))).alias("src"),
+            F.col("m").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple:
+    # bit_xor is overflow-free under ANSI mode (edges are distinct, so
+    # xor is a sound multiset signature here)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_long(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src int64, dst int64) -> labels(id int64, component int64)
+    where component is the minimum member id.  Covers every vertex that
+    appears in any edge (callers union in isolated vertices)."""
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _large_star(e)
+        e = _small_star(e).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # final star edges point child -> root(min); roots label themselves
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    labels = labels.groupBy("id").agg(F.min("component").alias("component"))
+    return (
+        vertices.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src_id",
+    dst_col: str = "tgt_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """String-keyed wrapper: edges(src_col, dst_col string) ->
+    (name string, component int64, component_name string) where
+    component_name is the lexicographically-minimal member name (a
+    deterministic canonical representative)."""
+    ids = (
+        edges.select(F.col(src_col).alias("name"))
+        .union(edges.select(F.col(dst_col).alias("name")))
+        .distinct()
+        .withColumn("id", F.xxhash64("name"))
+    )
+    e_long = (
+        edges.select(
+            F.xxhash64(src_col).alias("src"), F.xxhash64(dst_col).alias("dst")
+        )
+    )
+    labels = connected_components_long(e_long, max_iter=max_iter)
+    named = ids.join(labels, "id").select("name", "component")
+    reps = named.groupBy("component").agg(
+        F.min("name").alias("component_name")
+    )
+    return named.join(reps, "component").select(
+        "name", "component", "component_name"
+    )

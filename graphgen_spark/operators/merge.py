@@ -1,0 +1,117 @@
+"""Node/edge merge & canonicalization aggregations.
+
+Reference semantics (``graphgen/models/kg_builder/light_rag_kg_builder.py``):
+
+- nodes: group by entity_name; majority entity_type (:119-123) —
+  reference tie-break is Counter insertion order (data-order-dependent,
+  nondeterministic under ray); we use the deterministic (count DESC,
+  type ASC).  Descriptions: dedupe+sort+join '<SEP>' (:125-127);
+  source_ids: set union (:130-132, kept sorted here for determinism);
+  over-long descriptions pass the summary gate (:201-235) — our
+  deterministic no-LLM stand-in truncates at max_summary_tokens.
+- edges: group by the sorted (src,tgt) pair (``build_text_kg.py:41``);
+  same desc/source merge (:171-176); edges whose endpoints are not
+  nodes are dropped (:178-180) — here two left-semi joins.
+
+All merges are single hash-aggregate shuffles with map-side partial
+aggregation; no central graph store exists.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
+
+SEP = "<SEP>"
+MAX_SUMMARY_TOKENS = 200
+
+
+@pandas_udf(T.StringType())
+def summarize_if_long_udf(description: pd.Series) -> pd.Series:
+    """Deterministic stand-in for the reference's LLM summary gate
+    (>=200 tokens → summarize the first 200 tokens)."""
+    from graphgen_spark.textkit import count_tokens, truncate_tokens
+
+    def gate(desc: str) -> str:
+        if desc is None:
+            return ""
+        if count_tokens(desc) < MAX_SUMMARY_TOKENS:
+            return desc
+        return truncate_tokens(desc, MAX_SUMMARY_TOKENS)
+
+    return description.map(gate)
+
+
+@pandas_udf(T.IntegerType())
+def _tok_len_udf(text: pd.Series) -> pd.Series:
+    from graphgen_spark.textkit import count_tokens
+
+    return text.map(lambda t: count_tokens(t or "")).astype("int32")
+
+
+def merge_nodes(entities: DataFrame) -> DataFrame:
+    """entities(entity_name, entity_type, description, source_id) ->
+    nodes(entity_name, entity_type, description, source_ids, length).
+    """
+    # majority type: count per (name,type), keep top by (cnt desc, type asc)
+    type_counts = entities.groupBy("entity_name", "entity_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("entity_name").orderBy(
+        F.desc("cnt"), F.asc("entity_type")
+    )
+    top_type = (
+        type_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("entity_name", "entity_type")
+    )
+
+    merged = entities.groupBy("entity_name").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("description")), SEP
+        ).alias("description_merged"),
+        F.array_sort(F.collect_set("source_id")).alias("source_ids"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+    nodes = (
+        merged.join(top_type, "entity_name")
+        .withColumn("description", summarize_if_long_udf("description_merged"))
+        .withColumn("length", _tok_len_udf("description"))
+        .select(
+            "entity_name", "entity_type", "description",
+            "source_ids", "length", "n_mentions",
+        )
+    )
+    return nodes
+
+
+def merge_edges(relations: DataFrame, nodes: DataFrame) -> DataFrame:
+    """relations(src_id, tgt_id, description, source_id) + nodes ->
+    edges(src_id, tgt_id, description, source_ids, length); endpoints
+    must both exist in nodes (left-semi joins, broadcast by AQE when
+    the node side is small)."""
+    merged = relations.groupBy("src_id", "tgt_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("description")), SEP
+        ).alias("description_merged"),
+        F.array_sort(F.collect_set("source_id")).alias("source_ids"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+    node_names = nodes.select(F.col("entity_name").alias("_nn"))
+    edges = (
+        merged.join(
+            node_names, merged.src_id == node_names._nn, "left_semi"
+        )
+        .join(node_names, merged.tgt_id == node_names._nn, "left_semi")
+        .withColumn("description", summarize_if_long_udf("description_merged"))
+        .withColumn("length", _tok_len_udf("description"))
+        .select(
+            "src_id", "tgt_id", "description",
+            "source_ids", "length", "n_mentions",
+        )
+    )
+    return edges

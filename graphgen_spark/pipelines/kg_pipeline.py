@@ -1,0 +1,165 @@
+"""The flagship end-to-end KG construction pipeline.
+
+pages(url, warc_ts, html, text, lang)
+  -> extract_text (Arrow UDF, byte-identical per url)
+  -> chunk (mapInPandas, splitter parity)            [repartition url-hash]
+  -> extract records (mock-LLM grammar + parser)
+  -> entities / relations (projections)
+  -> canonicalize (alias-dict broadcast link + CC labels)
+  -> merge_nodes / merge_edges (hash aggregates)     [shuffle by entity]
+  -> triples + coverage stats
+
+Mirrors the reference flagship config
+(``examples/generate/generate_aggregated_qa/aggregated_config.yaml``)
+but with the graph in the dataflow instead of a storage actor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphgen_spark.operators.chunking import chunk_documents
+from graphgen_spark.operators.components import connected_components
+from graphgen_spark.operators.kg_extract import (
+    entities_from_records,
+    extract_records,
+    relations_from_records,
+)
+from graphgen_spark.operators.merge import merge_edges, merge_nodes
+from graphgen_spark.operators.text import with_extracted_text
+
+
+def alias_labels(alias_dict: DataFrame) -> DataFrame:
+    """Alias dictionary -> (name, canon) label table via connected
+    components over the alias↔canonical bipartite graph (the CC merge
+    dedupes alias clusters; ambiguous aliases shared by two entities
+    merge those entities' clusters — the deterministic min-name rule).
+
+    Returns (alias_norm, canonical_key).
+    """
+    cc_edges = alias_dict.select(
+        F.col("alias_norm").alias("src_id"),
+        F.concat(F.lit("\x01CANON\x01"), F.col("canonical_name")).alias(
+            "tgt_id"
+        ),
+    )
+    labels = connected_components(cc_edges)
+    # representative = min canonical_name inside the component (the
+    # \x01 prefix sorts canonical sentinels first, and among them the
+    # lexicographically-min canonical name wins -> deterministic)
+    return (
+        labels.where(~F.col("name").startswith("\x01CANON\x01"))
+        .select(
+            F.col("name").alias("alias_norm"),
+            F.regexp_replace(
+                "component_name", "^\x01CANON\x01", ""
+            ).alias("canonical_key"),
+        )
+    )
+
+
+def canonicalize(
+    entities: DataFrame,
+    relations: DataFrame,
+    labels: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite mention surface forms to canonical keys (broadcast map
+    join); unlinked names stay themselves."""
+    if labels is None:
+        return entities, relations
+    lab = F.broadcast(labels)
+
+    ents = (
+        entities.join(
+            lab, entities.entity_name == lab.alias_norm, "left"
+        )
+        .withColumn(
+            "entity_name",
+            F.coalesce("canonical_key", "entity_name"),
+        )
+        .drop("alias_norm", "canonical_key")
+    )
+
+    lab_s = lab.select(
+        F.col("alias_norm").alias("_src_alias"),
+        F.col("canonical_key").alias("_src_canon"),
+    )
+    lab_t = lab.select(
+        F.col("alias_norm").alias("_tgt_alias"),
+        F.col("canonical_key").alias("_tgt_canon"),
+    )
+    rels = (
+        relations.join(
+            lab_s, relations.src_id == lab_s._src_alias, "left"
+        )
+        .join(lab_t, relations.tgt_id == lab_t._tgt_alias, "left")
+        .withColumn("_s", F.coalesce("_src_canon", "src_id"))
+        .withColumn("_t", F.coalesce("_tgt_canon", "tgt_id"))
+        .select(
+            F.least("_s", "_t").alias("src_id"),
+            F.greatest("_s", "_t").alias("tgt_id"),
+            "description",
+            "source_id",
+            "url",
+        )
+        .where(F.col("src_id") != F.col("tgt_id"))
+    )
+    return ents, rels
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame | None = None,
+    chunk_size: int = 1024,
+    chunk_overlap: int = 100,
+    extraction_partitions: int | None = None,
+    verify_text_invariant: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the full spine; returns the named intermediate + final
+    DataFrames (all lazy except the CC fixpoint inside alias_labels)."""
+    docs = with_extracted_text(pages, out_col="extracted_text").select(
+        "url",
+        F.col("extracted_text").alias("text"),
+        "warc_ts",
+    )
+    if verify_text_invariant:
+        docs = docs.withColumn("_orig", F.col("text"))
+
+    # repartition by url hash: extraction cost is ~uniform per doc and
+    # this keeps hot-host pages from skewing a single input split
+    if extraction_partitions:
+        docs = docs.repartition(extraction_partitions, F.crc32("url"))
+
+    chunks = chunk_documents(
+        docs, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    )
+    records = extract_records(chunks)
+    entities = entities_from_records(records)
+    relations = relations_from_records(records)
+
+    labels = alias_labels(alias_dict) if alias_dict is not None else None
+    entities_c, relations_c = canonicalize(entities, relations, labels)
+
+    nodes = merge_nodes(entities_c)
+    edges = merge_edges(relations_c, nodes)
+
+    triples = relations_c.select(
+        F.col("src_id").alias("subj"),
+        F.col("description").alias("pred"),
+        F.col("tgt_id").alias("obj"),
+        F.col("source_id").alias("chunk_id"),
+        "url",
+    )
+
+    return {
+        "docs": docs,
+        "chunks": chunks,
+        "records": records,
+        "entities": entities_c,
+        "relations": relations_c,
+        "nodes": nodes,
+        "edges": edges,
+        "triples": triples,
+    }

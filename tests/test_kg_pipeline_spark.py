@@ -1,0 +1,207 @@
+"""End-to-end Spark tests for the KG construction spine on the
+deterministic synthetic pages corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphgen_spark import synth
+from graphgen_spark.operators import (
+    chunk_documents,
+    connected_components,
+    entities_from_records,
+    extract_records,
+    link_entities,
+    merge_edges,
+    merge_nodes,
+    relations_from_records,
+    with_extracted_text,
+)
+
+N_PAGES = 60
+N_ENT = synth.n_entities_for(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.pages_df(spark, N_PAGES, N_ENT).cache()
+
+
+@pytest.fixture(scope="module")
+def records(spark, pages):
+    chunks = chunk_documents(pages, chunk_size=256, chunk_overlap=32)
+    return extract_records(chunks).cache()
+
+
+class TestSynthAndExtractText:
+    def test_page_count_and_schema(self, pages):
+        assert pages.count() == N_PAGES
+        assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+    def test_byte_identical_text_extraction(self, pages):
+        """BASELINE.json invariant: extract_text(html) == text, per url."""
+        extracted = with_extracted_text(pages)
+        mismatches = extracted.where(
+            F.col("extracted_text") != F.col("text")
+        ).count()
+        assert mismatches == 0
+
+    def test_determinism_across_partitionings(self, spark, pages):
+        again = synth.pages_df(spark, N_PAGES, N_ENT).repartition(13)
+        a = {r["url"]: r["text"] for r in pages.collect()}
+        b = {r["url"]: r["text"] for r in again.collect()}
+        assert a == b
+
+
+class TestChunking:
+    def test_chunks_cover_docs(self, spark, pages):
+        chunks = chunk_documents(pages, chunk_size=256, chunk_overlap=32)
+        urls_in = {r["url"] for r in pages.select("url").collect()}
+        urls_out = {r["url"] for r in chunks.select("url").distinct().collect()}
+        assert urls_in == urls_out
+
+    def test_token_budget(self, spark, pages):
+        chunks = chunk_documents(pages, chunk_size=128, chunk_overlap=16)
+        over = chunks.where(F.col("n_tokens") > 128 + 16).count()
+        assert over == 0
+
+
+class TestExtractionPipeline:
+    def test_records_shape(self, records):
+        kinds = {r["kind"] for r in records.select("kind").distinct().collect()}
+        assert kinds == {"entity", "relationship"}
+
+    def test_entities_uppercased(self, records):
+        ents = entities_from_records(records)
+        bad = ents.where(F.col("entity_name") != F.upper("entity_name")).count()
+        assert bad == 0
+
+    def test_relations_endpoint_sorted(self, records):
+        rels = relations_from_records(records)
+        bad = rels.where(F.col("src_id") > F.col("tgt_id")).count()
+        assert bad == 0
+
+
+class TestMerge:
+    def test_merge_nodes_unique_and_sep_join(self, records):
+        ents = entities_from_records(records)
+        nodes = merge_nodes(ents)
+        n = nodes.count()
+        assert n == nodes.select("entity_name").distinct().count()
+        assert n > 0
+        multi = nodes.where(F.size("source_ids") > 1).count()
+        assert multi > 0  # hot entities appear in many chunks
+
+    def test_merge_edges_endpoints_exist(self, records):
+        ents = entities_from_records(records)
+        nodes = merge_nodes(ents)
+        rels = relations_from_records(records)
+        edges = merge_edges(rels, nodes)
+        names = {r["entity_name"] for r in nodes.select("entity_name").collect()}
+        for row in edges.select("src_id", "tgt_id").collect():
+            assert row["src_id"] in names and row["tgt_id"] in names
+
+    def test_dropped_edge_without_endpoint(self, spark):
+        ents = spark.createDataFrame(
+            [("A", "person", "d1", "c1"), ("B", "person", "d2", "c1")],
+            ["entity_name", "entity_type", "description", "source_id"],
+        )
+        rels = spark.createDataFrame(
+            [("A", "B", "ok", "c1"), ("A", "GHOST", "drop me", "c1")],
+            ["src_id", "tgt_id", "description", "source_id"],
+        )
+        nodes = merge_nodes(ents)
+        edges = merge_edges(rels, nodes)
+        rows = edges.collect()
+        assert len(rows) == 1
+        assert rows[0]["src_id"] == "A" and rows[0]["tgt_id"] == "B"
+
+    def test_majority_type_tiebreak(self, spark):
+        ents = spark.createDataFrame(
+            [
+                ("X", "person", "d1", "c1"),
+                ("X", "person", "d2", "c2"),
+                ("X", "org", "d3", "c3"),
+                ("Y", "b_type", "d4", "c4"),
+                ("Y", "a_type", "d5", "c5"),
+            ],
+            ["entity_name", "entity_type", "description", "source_id"],
+        )
+        nodes = {r["entity_name"]: r for r in merge_nodes(ents).collect()}
+        assert nodes["X"]["entity_type"] == "person"  # majority
+        assert nodes["Y"]["entity_type"] == "a_type"  # tie -> asc name
+
+
+class TestLinking:
+    def test_linked_mentions_resolve(self, spark, records):
+        ents = entities_from_records(records)
+        nodes = merge_nodes(ents)
+        alias = synth.alias_dictionary_df(spark, N_ENT)
+        linked = link_entities(nodes, alias)
+        total = linked.count()
+        resolved = linked.where(F.col("canonical_id").isNotNull()).count()
+        # every synthetic mention surface form is in the dictionary
+        assert resolved == total
+        # multiple aliases of a hot entity collapse to one canonical id
+        dist = linked.groupBy("canonical_id").count()
+        assert dist.where(F.col("count") > 1).count() > 0
+
+
+class TestConnectedComponents:
+    def _cc_pure_python(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for s, d in edges:
+            union(s, d)
+        return {x: find(x) for x in parent}
+
+    def _check(self, spark, edge_list):
+        df = spark.createDataFrame(edge_list, ["src_id", "tgt_id"])
+        got = {
+            r["name"]: r["component_name"]
+            for r in connected_components(df).collect()
+        }
+        want_raw = self._cc_pure_python(edge_list)
+        # canonicalize: same partition of vertex set
+        from collections import defaultdict
+
+        def groups(labels):
+            g = defaultdict(set)
+            for k, v in labels.items():
+                g[v].add(k)
+            return {frozenset(v) for v in g.values()}
+
+        assert groups(got) == groups(want_raw)
+
+    def test_chain(self, spark):
+        edges = [(f"n{i}", f"n{i+1}") for i in range(40)]
+        self._check(spark, edges)
+
+    def test_star_and_islands(self, spark):
+        edges = [("hub", f"leaf{i}") for i in range(20)]
+        edges += [("a1", "a2"), ("b1", "b2"), ("b2", "b3")]
+        self._check(spark, edges)
+
+    def test_two_cliques_bridged(self, spark):
+        edges = [(f"c1_{i}", f"c1_{j}") for i in range(5) for j in range(i)]
+        edges += [(f"c2_{i}", f"c2_{j}") for i in range(5) for j in range(i)]
+        edges += [("c1_0", "c2_0")]
+        self._check(spark, edges)
+
+    def test_representative_is_min_name(self, spark):
+        df = spark.createDataFrame(
+            [("b", "c"), ("a", "b")], ["src_id", "tgt_id"]
+        )
+        rows = connected_components(df).collect()
+        assert all(r["component_name"] == "a" for r in rows)
