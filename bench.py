@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the flagship KG-construction pipeline (pages synthesized
+deterministically from the documents table -> canonical triples +
+coverage), plus the relational/dedup query suite from
+__spark_entry__.queries().
+
+Optional: SPARK_GRAFT_SCALING=1 additionally runs the KG pipeline at
+local[N] and local[4N] cold sessions and reports scaling efficiency
+(the BASELINE.md two-cluster-size stand-in).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _fresh_spark(cpus: int):
+    from graphgen_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_kg(spark, sf_dir: str) -> tuple[float, int]:
+    """Full spine wall time + triple count (count() forces the DAG)."""
+    import __spark_entry__ as entrymod
+    from graphgen_spark.pipelines import run_kg_pipeline
+
+    pages = entrymod._pages_for(spark, sf_dir)
+    t0 = time.time()
+    out = run_kg_pipeline(
+        spark, pages, alias_dict=entrymod._alias_dict(spark),
+        chunk_size=512, chunk_overlap=64,
+    )
+    n_triples = out["triples"].count()
+    return time.time() - t0, n_triples
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _fresh_spark(CPUS)
+    timings: dict[str, float] = {}
+
+    t_kg, n_triples = run_kg(spark, SF_DIR)
+    timings["kg_pipeline"] = round(t_kg, 3)
+
+    for name, fn in entrymod.queries().items():
+        if name.startswith("kg_"):
+            continue  # covered by kg_pipeline above
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_wall_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / t_kg, 1) if t_kg > 0 else None,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        lo_cpus = max(1, CPUS // 4)
+        spark_lo = _fresh_spark(lo_cpus)
+        t_lo, _ = run_kg(spark_lo, SF_DIR)
+        spark_lo.stop()
+        spark_hi = _fresh_spark(CPUS)
+        t_hi, _ = run_kg(spark_hi, SF_DIR)
+        spark_hi.stop()
+        eff = (t_lo / t_hi) / (CPUS / lo_cpus) if t_hi > 0 else None
+        result["scaling"] = {
+            "cpus_lo": lo_cpus, "wall_lo": round(t_lo, 3),
+            "cpus_hi": CPUS, "wall_hi": round(t_hi, 3),
+            "efficiency": round(eff, 3) if eff else None,
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,21 +81,34 @@ def _signature(e: DataFrame) -> tuple:
 
 
 def connected_components_long(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, partitions: int | None = None
 ) -> DataFrame:
     """edges(src int64, dst int64) -> labels(id int64, component int64)
     where component is the minimum member id.  Covers every vertex that
-    appears in any edge (callers union in isolated vertices)."""
+    appears in any edge (callers union in isolated vertices).
+
+    ``partitions`` sizes the fixpoint's shuffles: pass ~|E|/2M for big
+    graphs; when None a cheap count picks it (small inputs collapse to
+    a handful of partitions so the iteration isn't job-overhead-bound).
+    """
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    e = _canonical_edges(edges)
+    if partitions is None:
+        n_edges = e.count()
+        partitions = max(2, min(256, n_edges // 500_000 + 2))
+    e = e.repartition(partitions, "src").localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         e = _large_star(e)
-        e = _small_star(e).localCheckpoint(eager=True)
+        e = (
+            _small_star(e)
+            .repartition(partitions, "src")
+            .localCheckpoint(eager=True)
+        )
         sig = _signature(e)
         if sig == prev_sig:
             break
@@ -116,6 +129,7 @@ def connected_components(
     src_col: str = "src_id",
     dst_col: str = "tgt_id",
     max_iter: int = 25,
+    partitions: int | None = None,
 ) -> DataFrame:
     """String-keyed wrapper: edges(src_col, dst_col string) ->
     (name string, component int64, component_name string) where
@@ -132,7 +146,9 @@ def connected_components(
             F.xxhash64(src_col).alias("src"), F.xxhash64(dst_col).alias("dst")
         )
     )
-    labels = connected_components_long(e_long, max_iter=max_iter)
+    labels = connected_components_long(
+        e_long, max_iter=max_iter, partitions=partitions
+    )
     named = ids.join(labels, "id").select("name", "component")
     reps = named.groupBy("component").agg(
         F.min("name").alias("component_name")

@@ -43,7 +43,7 @@ def alias_labels(alias_dict: DataFrame) -> DataFrame:
         F.concat(F.lit("\x01CANON\x01"), F.col("canonical_name")).alias(
             "tgt_id"
         ),
-    )
+    ).localCheckpoint(eager=True)  # CC references its input repeatedly
     labels = connected_components(cc_edges)
     # representative = min canonical_name inside the component (the
     # \x01 prefix sorts canonical sentinels first, and among them the
@@ -139,7 +139,14 @@ def run_kg_pipeline(
     entities = entities_from_records(records)
     relations = relations_from_records(records)
 
-    labels = alias_labels(alias_dict) if alias_dict is not None else None
+    # localCheckpoint the label table: it is broadcast three times
+    # (entity names + both relation endpoints) and must not re-run the
+    # CC fixpoint per broadcast
+    labels = (
+        alias_labels(alias_dict).localCheckpoint(eager=True)
+        if alias_dict is not None
+        else None
+    )
     entities_c, relations_c = canonicalize(entities, relations, labels)
 
     nodes = merge_nodes(entities_c)

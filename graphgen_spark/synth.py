@@ -88,6 +88,10 @@ _FILLER_WORDS = (
 _FILLER_ZH = "市场报告显示季度增长分析师预计区域供应链和消费需求将恢复增长尽管监管政策信号仍不明朗"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def canonical_name(ent_id: int) -> str:
     a = _NAME_A[ent_id % len(_NAME_A)]
     b = _NAME_B[(ent_id // len(_NAME_A)) % len(_NAME_B)]
@@ -102,6 +106,7 @@ def entity_type(ent_id: int) -> str:
     return ENTITY_TYPES[_h64("etype", ent_id) % len(ENTITY_TYPES)]
 
 
+@lru_cache(maxsize=65536)
 def aliases_of(ent_id: int) -> List[str]:
     """Surface forms a page may use; index 0 is the canonical form."""
     name = canonical_name(ent_id)
@@ -121,16 +126,26 @@ def zipf_entity(n_entities: int, *seed_parts) -> int:
 # ------------------------------------------------------- page grammar
 
 
+def _build_filler_pools() -> tuple[list, list]:
+    """Precomputed filler sentence pools (module-level, seeded) — one
+    hash per sentence at generation time instead of one per word."""
+    en, zh = [], []
+    for i in range(512):
+        k = 6 + _h64("fl", i) % 8
+        words = [_choice(_FILLER_WORDS, "fw", j, i) for j in range(k)]
+        en.append(" ".join(words).capitalize() + ".")
+        kz = 8 + _h64("fzl", i) % 12
+        start = _h64("fzs", i) % (len(_FILLER_ZH) - kz)
+        zh.append(_FILLER_ZH[start : start + kz] + "。")
+    return en, zh
+
+
+_FILLER_POOL_EN, _FILLER_POOL_ZH = _build_filler_pools()
+
+
 def _filler_sentence(lang: str, *seed) -> str:
-    if lang == "zh":
-        k = 8 + _h64("fzl", *seed) % 12
-        start = _h64("fzs", *seed) % (len(_FILLER_ZH) - k)
-        return _FILLER_ZH[start : start + k] + "。"
-    k = 6 + _h64("fl", *seed) % 8
-    words = [
-        _choice(_FILLER_WORDS, "fw", i, *seed) for i in range(k)
-    ]
-    return " ".join(words).capitalize() + "."
+    pool = _FILLER_POOL_ZH if lang == "zh" else _FILLER_POOL_EN
+    return pool[_h64("fpick", *seed) % len(pool)]
 
 
 def _relation_sentence(
@@ -271,7 +286,10 @@ ALIAS_SCHEMA = T.StructType(
 def alias_dictionary_df(spark: SparkSession, n_entities: int) -> DataFrame:
     """Candidate dictionary for entity linking: alias_norm is the
     clean_str+UPPER normalized surface form (matching what the
-    extraction parser emits as entity_name)."""
+    extraction parser emits as entity_name).  An alias shared by
+    several entities (e.g. the bare first word "ZORVEX") resolves to
+    the MINIMUM canonical_id — deterministic one-alias-one-entity
+    semantics; ambiguity never merges distinct entities."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphgen_spark.textkit import clean_str
@@ -289,6 +307,13 @@ def alias_dictionary_df(spark: SparkSession, n_entities: int) -> DataFrame:
             )
 
     ids = spark.range(0, n_entities, 1)
-    return ids.mapInPandas(gen, schema=ALIAS_SCHEMA).dropDuplicates(
-        ["alias_norm"]
+    raw = ids.mapInPandas(gen, schema=ALIAS_SCHEMA)
+    return (
+        raw.groupBy("alias_norm")
+        .agg(F.min(F.struct("canonical_id", "canonical_name")).alias("_m"))
+        .select(
+            "alias_norm",
+            F.col("_m.canonical_id").alias("canonical_id"),
+            F.col("_m.canonical_name").alias("canonical_name"),
+        )
     )
