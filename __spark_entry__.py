@@ -138,14 +138,138 @@ def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_by_url(_q_kg_triples(spark, sf_dir)).orderBy("url")
 
 
+def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the events stream table: per-user event
+    sequencing + inter-event gap (SURVEY §2.6 window surface)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("seq", F.row_number().over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_sec",
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+            ),
+        )
+        .where(F.col("seq") <= 3)
+        .select("user_id", "event_id", "seq", "gap_sec")
+        .orderBy("user_id", "seq")
+    )
+
+
+def _q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeFilter semantics (reference models/filter/range_filter.py):
+    keep rows whose metric lies in [lo, hi)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.where((F.col("n_chars") >= 200) & (F.col("n_chars") < 400))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: parts with no lineitem (KV filter_keys
+    semantics, reference storage/kv/json_storage.py:45-46)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+def _q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint near-dup grouping (first 5 whitespace tokens):
+    non-vacuous dedup signal on the word-salad corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        )
+    )
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
+    from graphgen_spark.pipelines import run_kg_pipeline
+
+    pages = _pages_for(spark, sf_dir)
+    out = run_kg_pipeline(
+        spark, pages, alias_dict=_alias_dict(spark),
+        chunk_size=512, chunk_overlap=64,
+    )
+    # materialize: downstream probe/partition stages (and the CC
+    # fixpoint inside them) reference the graph many times
+    nodes = out["nodes"].localCheckpoint(eager=True)
+    edges = out["edges"].localCheckpoint(eager=True)
+    return nodes, edges
+
+
+def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE-style partition over the built graph (rows-only check)."""
+    from graphgen_spark.operators.partitioners import ece_partition
+    from graphgen_spark.operators.probe import attach_losses, judge, quiz
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    losses = judge(quiz(nodes, edges, quiz_samples=1))
+    nodes_l, edges_l = attach_losses(nodes, edges, losses)
+    return ece_partition(
+        nodes_l, edges_l, max_units=20, min_units=2, max_tokens=10240,
+        unit_sampling="max_loss",
+    ).select(
+        "community_id", "n_units", "token_sum",
+        F.size("nodes").alias("n_nodes"), F.size("edges").alias("n_edges"),
+    ).orderBy("community_id")
+
+
+def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community -> QA generation (aggregated mode, QA_pairs format)."""
+    from graphgen_spark.operators.generate import format_qa, generate_qa
+    from graphgen_spark.operators.partitioners import (
+        bfs_partition,
+        community_to_batches,
+    )
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    # checkpoint: community_to_batches references the communities twice
+    # (node payload + edge payload explodes)
+    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
+        eager=True
+    )
+    batches = community_to_batches(comms, nodes, edges)
+    qa = generate_qa(batches, mode="aggregated")
+    return format_qa(qa, "QA_pairs").orderBy("question")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "doc_token_stats": _q_doc_token_stats,
         "exact_dup_groups": _q_exact_dup_groups,
+        "events_windows": _q_events_windows,
+        "filter_range": _q_filter_range,
+        "parts_never_ordered": _q_parts_never_ordered,
+        "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "kg_triples": _q_kg_triples,
         "kg_coverage_by_url": _q_kg_coverage,
+        "kg_communities": _q_kg_communities,
+        "kg_qa_pairs": _q_kg_qa_pairs,
     }
 
 
@@ -193,7 +317,41 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
             ORDER BY keep_doc_id
         """,
-        # kg_triples / kg_coverage_by_url: extraction is not
-        # SQL-expressible (mock-LLM + parser UDFs) -> rows-only check;
-        # value correctness is gated by tests/test_pr_harness.py.
+        "events_windows": """
+            SELECT user_id, event_id, seq, gap_sec FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER w AS seq,
+                       epoch(ts) - epoch(lag(ts) OVER w) AS gap_sec
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE seq <= 3
+            ORDER BY user_id, seq
+        """,
+        "filter_range": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= 200 AND n_chars < 400
+            ORDER BY doc_id
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
+        """,
+        "doc_fingerprint_dups": r"""
+            WITH fp AS (
+                SELECT md5(array_to_string(
+                           regexp_split_to_array(trim(text), '\s+')[1:5],
+                           ' ')) AS fingerprint,
+                       doc_id
+                FROM documents
+            )
+            SELECT fingerprint, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+            ORDER BY keep_doc_id
+        """,
+        # kg_triples / kg_coverage_by_url / kg_communities / kg_qa_pairs:
+        # extraction is not SQL-expressible (mock-LLM + parser UDFs) ->
+        # rows-only check; value correctness is gated by the pytest
+        # P/R harness and partitioner-invariant tests.
     }

@@ -1,0 +1,465 @@
+"""Graph partitioners: communities from the nodes/edges tables.
+
+The reference runs these as a single-process whole-graph barrier
+(``engine.py:245-255`` repartition(1)); communities can never span
+connected components (BFS cannot cross them), so the Spark build keys
+the SAME greedy algorithms by CC label and runs them per-component in
+parallel via ``applyInPandas`` — a semantic refinement, not a change:
+
+- BFS/DFS   (``models/partitioner/bfs_partitioner.py:20-73``, dfs:20-74)
+- ECE       (``models/partitioner/ece_partitioner.py:56-157``): sort
+  units by comprehension loss (min/max/random), BFS-grow under unit +
+  token budgets, drop communities under min size
+- AnchorBFS (``anchor_bfs_partitioner.py:33-120``): grow only from
+  anchor-typed seeds
+- Quintuple (``quintuple_partitioner.py:18-74``): pair unused edges
+  around a center -> (v1, u, v2) paths
+- Triple    (``triple_partitioner.py:18-58``): one community per edge —
+  pure DataFrame projection, no Python at all
+- Leiden    (``leiden_partitioner.py:16-117``): igraph+leidenalg per
+  component when installed; BFS size-split fallback otherwise
+
+Unlike the reference's unseeded ``random.shuffle`` (nondeterministic),
+every RNG here is seeded per component — results are reproducible at
+any parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphgen_spark.operators.components import connected_components
+
+DEFAULT_LOSS = -math.log(0.1)
+
+COMMUNITY_SCHEMA = T.StructType(
+    [
+        T.StructField("community_id", T.StringType(), False),
+        T.StructField("nodes", T.ArrayType(T.StringType()), False),
+        T.StructField(
+            "edges",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("src", T.StringType(), False),
+                        T.StructField("dst", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("n_units", T.IntegerType(), False),
+        T.StructField("token_sum", T.LongType(), False),
+    ]
+)
+
+
+def units_with_components(
+    nodes: DataFrame, edges: DataFrame, loss_nodes: DataFrame | None = None
+) -> DataFrame:
+    """Long-format unit table keyed by CC component:
+    (component, kind, a, b, length, loss) — node units have b NULL."""
+    labels = connected_components(edges).select(
+        F.col("name").alias("entity_name"), "component"
+    )
+    node_units = (
+        nodes.join(labels, "entity_name", "left")
+        .select(
+            F.coalesce(
+                "component", F.xxhash64("entity_name")
+            ).alias("component"),  # isolated nodes: own singleton
+            F.lit("n").alias("kind"),
+            F.col("entity_name").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.col("length").cast("long").alias("length"),
+            (
+                F.col("loss") if "loss" in nodes.columns else F.lit(None)
+            ).cast("double").alias("loss"),
+        )
+    )
+    lab_src = labels.select(
+        F.col("entity_name").alias("src_id"), "component"
+    )
+    edge_units = edges.join(lab_src, "src_id").select(
+        "component",
+        F.lit("e").alias("kind"),
+        F.col("src_id").alias("a"),
+        F.col("tgt_id").alias("b"),
+        F.col("length").cast("long").alias("length"),
+        (
+            F.col("loss") if "loss" in edges.columns else F.lit(None)
+        ).cast("double").alias("loss"),
+    )
+    return node_units.unionByName(edge_units)
+
+
+def _greedy_partition_pdf(
+    pdf: pd.DataFrame,
+    strategy: str,
+    max_units: int,
+    min_units: int,
+    max_tokens: int,
+    unit_sampling: str,
+    anchor_nodes: set | None,
+) -> List[tuple]:
+    """Reference-shaped greedy growth inside one component.
+
+    strategy: 'bfs' | 'dfs' | 'ece' | 'quintuple'
+    unit_sampling: 'random' | 'min_loss' | 'max_loss'
+    """
+    import hashlib
+
+    nodes = {}
+    edges = {}
+    adj: dict[str, set] = {}
+    for row in pdf.itertuples(index=False):
+        length = int(row.length or 0)
+        loss = float(row.loss) if row.loss is not None and not pd.isna(row.loss) else DEFAULT_LOSS
+        if row.kind == "n":
+            nodes[row.a] = (length, loss)
+            adj.setdefault(row.a, set())
+        else:
+            key = tuple(sorted((row.a, row.b)))
+            edges[key] = (length, loss)
+            adj.setdefault(row.a, set()).add(row.b)
+            adj.setdefault(row.b, set()).add(row.a)
+
+    comp_seed = int.from_bytes(
+        hashlib.blake2b(
+            str(sorted(nodes) + sorted(edges)).encode(), digest_size=8
+        ).digest(),
+        "big",
+    )
+
+    def sort_units(units: list) -> list:
+        if unit_sampling == "random":
+            import random
+
+            rng = random.Random(comp_seed)
+            units = list(units)
+            rng.shuffle(units)
+            return units
+        reverse = unit_sampling == "max_loss"
+        return sorted(
+            units, key=lambda u: (u[2][1], str(u[1])), reverse=reverse
+        )
+
+    all_units = [("n", nid, d) for nid, d in sorted(nodes.items())] + [
+        ("e", key, d) for key, d in sorted(edges.items())
+    ]
+    all_units = sort_units(all_units)
+
+    used_n: set = set()
+    used_e: set = set()
+    out: List[tuple] = []
+
+    if strategy == "quintuple":
+        # pair unused neighbor edges around each center
+        for center in sorted(adj):
+            nbrs = sorted(adj[center])
+            free = [
+                v for v in nbrs if tuple(sorted((center, v))) not in used_e
+            ]
+            for i in range(0, len(free) - 1, 2):
+                v1, v2 = free[i], free[i + 1]
+                e1 = tuple(sorted((center, v1)))
+                e2 = tuple(sorted((center, v2)))
+                used_e.update((e1, e2))
+                tok = sum(
+                    nodes.get(x, (0, 0))[0] for x in (v1, center, v2)
+                ) + edges[e1][0] + edges[e2][0]
+                out.append(
+                    (
+                        f"quint-{center}-{v1}-{v2}",
+                        [v1, center, v2],
+                        [
+                            {"src": e1[0], "dst": e1[1]},
+                            {"src": e2[0], "dst": e2[1]},
+                        ],
+                        5,
+                        tok,
+                    )
+                )
+        return out
+
+    def grow(seed_unit):
+        comm_n: dict = {}
+        comm_e: dict = {}
+        token_sum = 0
+        frontier = [seed_unit]
+
+        def add(u):
+            nonlocal token_sum
+            kind, key, d = u
+            if kind == "n":
+                if key in used_n or key in comm_n:
+                    return False
+                comm_n[key] = d
+                used_n.add(key)
+            else:
+                if key in used_e or key in comm_e:
+                    return False
+                comm_e[key] = d
+                used_e.add(key)
+            token_sum += d[0]
+            return True
+
+        add(seed_unit)
+        while frontier:
+            if (
+                len(comm_n) + len(comm_e) >= max_units
+                or token_sum >= max_tokens
+            ):
+                break
+            cur = frontier.pop(0) if strategy != "dfs" else frontier.pop()
+            kind, key, _ = cur
+            nbrs = []
+            if kind == "n":
+                for nb in sorted(adj.get(key, ())):
+                    ek = tuple(sorted((key, nb)))
+                    if ek in edges and ek not in used_e and ek not in comm_e:
+                        nbrs.append(("e", ek, edges[ek]))
+            else:
+                for nid in key:
+                    if nid in nodes and nid not in used_n and nid not in comm_n:
+                        nbrs.append(("n", nid, nodes[nid]))
+            nbrs = sort_units(nbrs)
+            for nb in nbrs:
+                if (
+                    len(comm_n) + len(comm_e) >= max_units
+                    or token_sum >= max_tokens
+                ):
+                    break
+                if add(nb):
+                    frontier.append(nb)
+
+        if len(comm_n) + len(comm_e) < min_units:
+            return None
+        seed_name = (
+            seed_unit[1] if seed_unit[0] == "n" else "-".join(seed_unit[1])
+        )
+        return (
+            f"comm-{seed_name}",
+            sorted(comm_n),
+            [{"src": a, "dst": b} for a, b in sorted(comm_e)],
+            len(comm_n) + len(comm_e),
+            token_sum,
+        )
+
+    for unit in all_units:
+        kind, key, _ = unit
+        if kind == "n" and key in used_n:
+            continue
+        if kind == "e" and key in used_e:
+            continue
+        if anchor_nodes is not None:
+            if kind != "n" or key not in anchor_nodes:
+                continue
+        comm = grow(unit)
+        if comm:
+            out.append(comm)
+    return out
+
+
+def _partition_with(
+    units: DataFrame,
+    strategy: str,
+    max_units: int = 10,
+    min_units: int = 1,
+    max_tokens: int = 10240,
+    unit_sampling: str = "random",
+    anchor_type: str | None = None,
+    anchor_names: DataFrame | None = None,
+) -> DataFrame:
+    anchor_set_bc = None
+    if anchor_names is not None:
+        names = {r[0] for r in anchor_names.collect()}
+        anchor_set_bc = units.sparkSession.sparkContext.broadcast(names)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        anchors = anchor_set_bc.value if anchor_set_bc is not None else None
+        rows = _greedy_partition_pdf(
+            pdf, strategy, max_units, min_units, max_tokens,
+            unit_sampling, anchors,
+        )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "community_id", "nodes", "edges", "n_units", "token_sum",
+            ],
+        )
+
+    return units.groupBy("component").applyInPandas(
+        apply_fn, schema=COMMUNITY_SCHEMA
+    )
+
+
+def bfs_partition(nodes, edges, max_units=10, min_units=1,
+                  max_tokens=10240) -> DataFrame:
+    units = units_with_components(nodes, edges)
+    return _partition_with(units, "bfs", max_units, min_units, max_tokens)
+
+
+def dfs_partition(nodes, edges, max_units=10, min_units=1,
+                  max_tokens=10240) -> DataFrame:
+    units = units_with_components(nodes, edges)
+    return _partition_with(units, "dfs", max_units, min_units, max_tokens)
+
+
+def ece_partition(nodes, edges, max_units=20, min_units=5,
+                  max_tokens=10240, unit_sampling="max_loss") -> DataFrame:
+    """nodes/edges must carry a ``loss`` column (from the judge stage);
+    missing losses default to -log(0.1) like the reference."""
+    units = units_with_components(nodes, edges)
+    return _partition_with(
+        units, "bfs", max_units, min_units, max_tokens, unit_sampling
+    )
+
+
+def anchor_bfs_partition(nodes, edges, anchor_type: str, max_units=10,
+                         min_units=1, max_tokens=10240) -> DataFrame:
+    anchors = nodes.where(
+        F.lower("entity_type").contains(anchor_type.lower())
+    ).select("entity_name")
+    units = units_with_components(nodes, edges)
+    return _partition_with(
+        units, "bfs", max_units, min_units, max_tokens,
+        anchor_names=anchors,
+    )
+
+
+def quintuple_partition(nodes, edges) -> DataFrame:
+    units = units_with_components(nodes, edges)
+    return _partition_with(units, "quintuple")
+
+
+def triple_partition(edges: DataFrame) -> DataFrame:
+    """One community per edge — the (subj, pred, obj) unit emitter
+    (reference ``triple_partitioner.py:18-58``); pure DataFrame."""
+    return edges.select(
+        F.concat_ws("::", "src_id", "tgt_id").alias("community_id"),
+        F.array("src_id", "tgt_id").alias("nodes"),
+        F.array(
+            F.struct(
+                F.col("src_id").alias("src"), F.col("tgt_id").alias("dst")
+            )
+        ).alias("edges"),
+        F.lit(3).alias("n_units"),
+        F.col("length").cast("long").alias("token_sum"),
+    )
+
+
+def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
+                     seed=42) -> DataFrame:
+    """Community detection per connected component: leidenalg+igraph
+    when importable (reference parity), else deterministic BFS
+    size-split of each component (same output contract)."""
+    try:
+        import igraph  # noqa: F401
+        import leidenalg  # noqa: F401
+        have_leiden = True
+    except ImportError:
+        have_leiden = False
+
+    if not have_leiden:
+        return bfs_partition(
+            nodes, edges, max_units=max_size, min_units=1,
+            max_tokens=2**62,
+        )
+
+    units = units_with_components(nodes, edges)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import igraph as ig
+        import leidenalg as la
+
+        names = sorted(pdf[pdf["kind"] == "n"]["a"])
+        idx = {n: i for i, n in enumerate(names)}
+        epdf = pdf[pdf["kind"] == "e"]
+        g = ig.Graph(
+            n=len(names),
+            edges=[
+                (idx[a], idx[b])
+                for a, b in zip(epdf["a"], epdf["b"])
+                if a in idx and b in idx
+            ],
+        )
+        part = la.find_partition(
+            g, la.RBConfigurationVertexPartition,
+            resolution_parameter=resolution, seed=seed,
+        )
+        rows = []
+        for ci, members in enumerate(part):
+            mnames = sorted(names[m] for m in members)
+            for s in range(0, len(mnames), max_size):
+                chunk = mnames[s : s + max_size]
+                cset = set(chunk)
+                cedges = [
+                    {"src": a, "dst": b}
+                    for a, b in zip(epdf["a"], epdf["b"])
+                    if a in cset and b in cset
+                ]
+                rows.append(
+                    (
+                        f"leiden-{ci}-{s // max_size}-{chunk[0]}",
+                        chunk, cedges, len(chunk) + len(cedges), 0,
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "community_id", "nodes", "edges", "n_units", "token_sum",
+            ],
+        )
+
+    return units.groupBy("component").applyInPandas(
+        apply_fn, schema=COMMUNITY_SCHEMA
+    )
+
+
+def community_to_batches(
+    communities: DataFrame, nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Re-attach node/edge payloads to community ids and drop
+    self-loops (reference ``bases/base_partitioner.py:22-53``):
+    explode + join instead of per-id actor lookups."""
+    node_payload = (
+        communities.select(
+            "community_id", F.explode("nodes").alias("entity_name")
+        )
+        .join(nodes, "entity_name")
+        .groupBy("community_id")
+        .agg(
+            F.collect_list(
+                F.struct("entity_name", "entity_type", "description")
+            ).alias("node_data")
+        )
+    )
+    edge_payload = (
+        communities.select(
+            "community_id", F.explode("edges").alias("e")
+        )
+        .where(F.col("e.src") != F.col("e.dst"))
+        .join(
+            edges,
+            (F.col("e.src") == edges.src_id)
+            & (F.col("e.dst") == edges.tgt_id),
+        )
+        .groupBy("community_id")
+        .agg(
+            F.collect_list(
+                F.struct("src_id", "tgt_id", "description")
+            ).alias("edge_data")
+        )
+    )
+    return (
+        communities.select("community_id", "n_units", "token_sum")
+        .join(node_payload, "community_id", "left")
+        .join(edge_payload, "community_id", "left")
+    )
