@@ -256,6 +256,98 @@ def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return format_qa(qa, "QA_pairs").orderBy("question")
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (pure relational shingle join)."""
+    from graphgen_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("a", "b")
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang quality aggregates (punct + repetition ratios)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    return (
+        docs.withColumn("rep_ratio", rep)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("rep_ratio"), 6).alias("avg_repetition"),
+            F.round(
+                F.avg(F.length("text") / F.size(toks)), 6
+            ).alias("avg_chars_per_token"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise centroid norm (posexplode + two aggs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mean_v"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6
+            ).alias("centroid_norm"),
+            F.count(F.lit(1)).alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vectors."""
+    from graphgen_spark.datapipe.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return (
+        brute_force_topk(emb, queries_df, k=3)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup groups (rows-only; minhash not in SQL)."""
+    from graphgen_spark.datapipe.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        minhash_lsh_dedup(docs, num_perm=64, bands=16, threshold=0.5)
+        .orderBy("doc_id")
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media -> feature vectors
+    (rows-only; decode is the documented deterministic fake)."""
+    from graphgen_spark.datapipe.multimodal import (
+        extract_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 128)
+    return extract_features(media).select(
+        "media_id", "modality", "feat_dim"
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -266,6 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": _q_filter_range,
         "parts_never_ordered": _q_parts_never_ordered,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_quality_by_lang": _q_doc_quality,
+        "embedding_centroids": _q_embedding_centroids,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_dedup_groups": _q_minhash_dedup,
+        "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
@@ -350,6 +448,82 @@ def oracle_sql() -> dict[str, str]:
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
             ORDER BY keep_doc_id
         """,
+        "ngram_jaccard_pairs": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([
+                           array_to_string(toks[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                       ])) AS shingle
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(common::DOUBLE / (sa.sz + sb.sz - common), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.05
+            ORDER BY a, b
+        """,
+        "doc_quality_by_lang": r"""
+            WITH t AS (
+                SELECT lang, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            )
+            SELECT lang,
+                   round(avg(1.0 - len(list_distinct(toks))::DOUBLE
+                             / len(toks)), 6) AS avg_repetition,
+                   round(avg(length(text)::DOUBLE / len(toks)), 6)
+                       AS avg_chars_per_token,
+                   count(*) AS n_docs
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "embedding_centroids": """
+            WITH pos AS (
+                SELECT unnest(range(1, 65)) AS p   -- 64-dim embeddings
+            ),
+            per_dim AS (
+                SELECT label, p, avg(embedding[p]) AS mean_v
+                FROM embeddings, pos
+                GROUP BY label, p
+            )
+            SELECT label,
+                   round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm,
+                   count(*) AS dim
+            FROM per_dim GROUP BY label ORDER BY label
+        """,
+        "embedding_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, c.embedding)
+                           AS cos_raw,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding, c.embedding) DESC,
+                               c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 5 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cosine
+            FROM scored WHERE rank <= 3
+            ORDER BY query_id, rank
+        """,
+        # minhash_dedup_groups / media_features: MinHash permutations
+        # and the media decode stub are not SQL-expressible ->
+        # rows-only checks (value behavior covered by pytest).
         # kg_triples / kg_coverage_by_url / kg_communities / kg_qa_pairs:
         # extraction is not SQL-expressible (mock-LLM + parser UDFs) ->
         # rows-only check; value correctness is gated by the pytest

@@ -1,0 +1,381 @@
+"""Document deduplication at scale.
+
+Five strategies, cheapest-first:
+
+- exact:        one hash-aggregate shuffle (md5 of text)
+- fingerprint:  prefix/rolling-hash fingerprint grouping
+- n-gram Jaccard: shingle explode -> self-join on shingle -> pairwise
+  Jaccard (pure relational, SQL-oracle-checkable)
+- MinHash+LSH:  vectorized numpy signatures -> band buckets -> bucket
+  join -> verified Jaccard -> CC grouping (the 100 TB path: candidate
+  generation is linear in corpus size, never quadratic)
+- SimHash:      64-bit signature, banded for Hamming-distance blocking
+- embedding cosine: random-hyperplane LSH buckets -> in-bucket cosine
+
+All outputs share the contract: a ``dup_groups`` frame
+(group_key, doc_id, keep) or a ``pairs`` frame (a, b, score).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphgen_spark.operators.components import connected_components
+
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, doc_id, keep): keep=True for the min-id copy."""
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("keep", F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+
+def shingles(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc — pure Spark SQL (split +
+    sequence + transform), no Python."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with Jaccard >= threshold over
+    word n-grams.  Shingle self-join: candidate generation touches only
+    docs that SHARE a shingle (linear in shingle postings, not |D|²);
+    AQE skew-join splits hot shingles."""
+    sh = shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sza, "a").join(szb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------- MinHash/LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_perm: int = 64, seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig array<long>): vectorized numpy MinHash over word
+    n-gram shingles (Arrow-batched; one pass per batch)."""
+    a_coef, b_coef = _minhash_params(num_perm, seed)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text or "").split()
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - n + 1, 1))
+                }
+                hv = np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.uint64, count=len(grams),
+                )
+                # sig_j = min_i (a_j * h_i + b_j) mod p
+                sig = (
+                    (hv[:, None] * a_coef[None, :] + b_coef[None, :])
+                    % _MERSENNE
+                ).min(axis=0)
+                rows.append((int(did), sig.astype(np.int64).tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_perm: int = 64, bands: int = 16,
+    threshold: float = 0.8, seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> band buckets -> candidate
+    pairs -> exact shingle-Jaccard verification -> CC grouping.
+
+    Returns (doc_id, group_id, keep).  Scale shape: the only joins are
+    (bucket self-join) and (pair verification vs the shingle postings);
+    both are hash joins on bounded keys.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig", bidx * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("doc_id").alias("a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    # verify candidates with exact n-gram Jaccard
+    sh = shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        candidates.join(sha, "a").join(shb, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("a"),
+                                 F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+    # group verified pairs into components; keep = min doc_id
+    labels = connected_components(
+        verified.select(
+            F.col("a").cast("string").alias("src_id"),
+            F.col("b").cast("string").alias("tgt_id"),
+        )
+    )
+    groups = labels.select(
+        F.col("name").cast("long").alias("doc_id"),
+        F.col("component_name").cast("long").alias("group_id"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(groups, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+        .withColumn("keep", F.col("doc_id") == F.col("group_id"))
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over whitespace tokens
+    (numpy bit-vote in an Arrow batch)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def h64(tok: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text or "").split()
+                votes = np.zeros(64, dtype=np.int64)
+                for tok in toks:
+                    hv = h64(tok)
+                    bits = np.fromiter(
+                        ((hv >> i) & 1 for i in range(64)),
+                        dtype=np.int64, count=64,
+                    )
+                    votes += 2 * bits - 1
+                sig = 0
+                for i in range(64):
+                    if votes[i] > 0:
+                        sig |= 1 << i
+                # store as signed int64
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                rows.append((int(did), sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """(a, b, hamming): banded SimHash blocking (pigeonhole: any pair
+    within Hamming distance < bands shares at least one exact band),
+    then exact Hamming verification via bit_count(xor)."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    width = 64 // bands
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    left = banded.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"),
+        "band", "key",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"),
+        "band", "key",
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, n_planes: int = 10, n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cosine): multi-table random-hyperplane LSH (candidate if
+    the pair collides in ANY of ``n_tables`` independent plane sets —
+    OR-amplification recovers the recall a single table loses when one
+    plane happens to split a near-identical pair), then exact cosine
+    verification via native array expressions (zip_with/aggregate)."""
+    from graphgen_spark.datapipe.similarity import (
+        cosine_expr,
+        hyperplane_bucket,
+    )
+
+    table_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(
+                F.col(vec_col), n_planes, seed + 1000 * t
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(F.array(*table_structs)).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"),
+             F.col("tb.bucket").alias("bucket"))
+    left = bucketed.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket"
+    )
+    right = bucketed.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), "tbl", "bucket"
+    )
+    candidates = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    return candidates.select(
+        "a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus — broadcast the (small) query set, native ``zip_with`` +
+  ``aggregate`` dot products (JVM-side, no Python), window top-k.
+- ``lsh_topk``: the scale path — random-hyperplane signatures bucket
+  both sides; only same-bucket candidates are scored.  Probing several
+  buckets (multi-probe via reduced plane count) trades recall/cost.
+- ``ivf_topk``: IVF-style — k seeded centroids (deterministic), every
+  vector assigned to its nearest centroid, queries probe ``nprobe``
+  nearest centroid cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Native cosine similarity over two array columns (stays in
+    codegen: zip_with + aggregate, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42,
+                      dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed
+    into a long — pure column expressions over a literal plane matrix."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact baseline.
+    The query side is broadcast — at 100 TB the corpus side streams
+    through executors once; cost is |Q| dot products per corpus row."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = q.crossJoin(c).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket candidates are scored."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            hyperplane_bucket(F.col(vec_col), n_planes, seed).alias(
+                "bucket"
+            ),
+        )
+    )
+    scored = qb.join(cb, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    n_cells: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    dim: int = 64, seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: deterministic random centroids (a real system
+    would k-means; cell assignment and probing shape are identical),
+    corpus partitioned by nearest cell, queries probe nprobe cells."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def cell_scores(vec: Column) -> Column:
+        arr = []
+        for ci in range(n_cells):
+            c_arr = F.array(*[F.lit(float(x)) for x in cents[ci]])
+            arr.append(
+                F.struct(
+                    cosine_expr(vec, c_arr).alias("sim"),
+                    F.lit(ci).alias("cell"),
+                )
+            )
+        return F.reverse(F.array_sort(F.array(*arr)))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        cell_scores(F.col(vec_col))[0]["cell"].alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode(
+                F.slice(cell_scores(F.col(vec_col)), 1, nprobe)
+            ).alias("probe"),
+        ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    scored = q.join(c, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

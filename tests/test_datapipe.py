@@ -1,0 +1,232 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphgen_spark.datapipe.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from graphgen_spark.datapipe.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_df,
+)
+from graphgen_spark.datapipe.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from graphgen_spark.datapipe.textstats import (
+    detect_language_udf,
+    mtld,
+    mtld_udf,
+    with_quality_scores,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm afternoon sun near the old garden wall"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),        # near dup of 0
+        (3, "completely different text about spark query engines and "
+            "distributed joins over columnar storage formats"),
+        (4, BASE.replace("fox", "wolf").replace("cat", "bird")),
+        (5, "another unrelated document mentioning benchmarks latency "
+            "throughput and partition pruning strategies"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, spark, dup_docs):
+        out = exact_dedup(dup_docs).collect()
+        kept = {r["doc_id"] for r in out if r["keep"]}
+        assert kept == {0, 2, 3, 4, 5}  # doc 1 deduped against 0
+
+
+class TestNgramJaccard:
+    def test_pairs_threshold(self, spark, dup_docs):
+        pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+        got = {(r["a"], r["b"]) for r in pairs}
+        assert (0, 1) in got          # identical
+        assert (0, 2) in got          # one word changed
+        assert all(p not in got for p in [(0, 3), (3, 5)])
+
+    def test_jaccard_exact_for_identical(self, spark, dup_docs):
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+        }
+        assert abs(pairs[(0, 1)] - 1.0) < 1e-9
+
+
+class TestMinHash:
+    def test_signature_properties(self, spark, dup_docs):
+        sigs = {r["doc_id"]: r["sig"] for r in
+                minhash_signatures(dup_docs, num_perm=64).collect()}
+        assert sigs[0] == sigs[1]  # identical docs -> identical sigs
+        # near dup: most permutations agree
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 64
+        assert agree > 0.5
+        agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 64
+        assert agree_far < 0.3
+
+    def test_lsh_dedup_groups(self, spark, dup_docs):
+        out = minhash_lsh_dedup(
+            dup_docs, num_perm=64, bands=16, threshold=0.6
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["group_id"] == by_id[1]["group_id"]
+        assert by_id[0]["group_id"] == by_id[2]["group_id"]
+        assert by_id[3]["group_id"] != by_id[0]["group_id"]
+        keeps = {r["doc_id"] for r in out if r["keep"]}
+        assert 0 in keeps and 1 not in keeps and 2 not in keeps
+        assert {3, 5} <= keeps
+
+
+class TestSimHash:
+    def test_near_pairs(self, spark, dup_docs):
+        # 8 bands of 8 bits: pigeonhole guarantees recall of any pair
+        # within Hamming distance 7 (fixture pair (0,2) is exactly 7)
+        pairs = simhash_dup_pairs(
+            dup_docs, max_hamming=7, bands=8
+        ).collect()
+        got = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+        assert got.get((0, 1)) == 0
+        assert (0, 2) in got
+        assert (0, 3) not in got
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        base = rng.randn(8, 64)
+        rows = []
+        for i, v in enumerate(base):
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], i % 2))
+            # id+100 = small perturbation of id (near-dup)
+            w = v + rng.randn(64) * 0.01
+            w = w / np.linalg.norm(w)
+            rows.append((i + 100, [float(x) for x in w], i % 2))
+        return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def test_neardup_pairs(self, spark, emb):
+        pairs = embedding_neardup_pairs(emb, threshold=0.98).collect()
+        got = {(r["a"], r["b"]) for r in pairs}
+        for i in range(8):
+            assert (i, i + 100) in got
+        assert all(b - a == 100 for a, b in got)
+
+    def test_brute_force_topk(self, spark, emb):
+        out = brute_force_topk(emb, emb.where("vec_id < 3"), k=1).collect()
+        top = {r["query_id"]: r["neighbor_id"] for r in out}
+        assert top == {0: 100, 1: 101, 2: 102}
+
+    def test_lsh_topk_matches_brute_force_top1(self, spark, emb):
+        out = lsh_topk(emb, emb.where("vec_id < 3"), k=1,
+                       n_planes=6).collect()
+        top = {r["query_id"]: r["neighbor_id"] for r in out}
+        # perturbed twin lands in the same bucket with high probability
+        assert top.get(0) == 100
+
+    def test_ivf_topk(self, spark, emb):
+        out = ivf_topk(emb, emb.where("vec_id < 3"), k=1, n_cells=4,
+                       nprobe=4).collect()
+        top = {r["query_id"]: r["neighbor_id"] for r in out}
+        assert top == {0: 100, 1: 101, 2: 102}
+
+
+class TestTextStats:
+    def test_quality_scores(self, spark, dup_docs):
+        out = with_quality_scores(dup_docs).collect()
+        for r in out:
+            assert 0 <= r["punct_ratio"] <= 1
+            assert 0 <= r["stopword_ratio"] <= 1
+            assert 0 <= r["repetition_ratio"] <= 1
+            assert r["quality_score"] > 0
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["stopword_ratio"] > by_id[3]["stopword_ratio"]
+
+    def test_language_detection(self, spark):
+        rows = [
+            (0, "the cat is on the mat and it was warm"),
+            (1, "el gato está en la casa y es de madrid"),
+            (2, "le chat est dans la maison et les enfants"),
+            (3, "der hund ist in dem haus und die katze"),
+            (4, "这是一个完全中文的句子没有其他语言"),
+        ]
+        df = spark.createDataFrame(rows, ["i", "text"])
+        got = {
+            r["i"]: r["lang"]
+            for r in df.select(
+                "i", detect_language_udf("text").alias("lang")
+            ).collect()
+        }
+        assert got == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "zh"}
+
+    def test_mtld_properties(self):
+        rep = mtld("a a a a a a a a a a a a")
+        div = mtld(
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        )
+        assert div > rep >= 0
+        assert mtld("") == 0.0
+
+    def test_mtld_udf(self, spark, dup_docs):
+        out = dup_docs.select(mtld_udf("text").alias("m")).collect()
+        assert all(r["m"] >= 0 for r in out)
+
+
+class TestMultimodal:
+    def test_feature_extraction_shape(self, spark):
+        media = synth_media_df(spark, 12)
+        feats = extract_features(media).collect()
+        assert len(feats) == 12
+        for r in feats:
+            assert r["feat_dim"] == 32 and len(r["feature"]) == 32
+            norm = sum(x * x for x in r["feature"])
+            assert abs(norm - 1.0) < 1e-3
+
+    def test_feature_determinism(self, spark):
+        a = {r["media_id"]: r["feature"]
+             for r in extract_features(synth_media_df(spark, 8)).collect()}
+        b = {r["media_id"]: r["feature"]
+             for r in extract_features(
+                 synth_media_df(spark, 8).repartition(3)
+             ).collect()}
+        assert a == b
+
+    def test_frame_sampling(self, spark):
+        media = synth_media_df(spark, 12)
+        frames = sample_frames(media, every_ms=1000).collect()
+        assert frames
+        by_media = {}
+        for r in frames:
+            by_media.setdefault(r["media_id"], []).append(r)
+        videos = {r["media_id"] for r in media.collect()
+                  if r["modality"] == "video"}
+        assert set(by_media) == videos
+        for mid, rows in by_media.items():
+            idxs = sorted(r["frame_index"] for r in rows)
+            assert idxs == list(range(len(idxs)))
+
+    def test_real_decode_raises(self, spark):
+        media = synth_media_df(spark, 3)
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
+            extract_features(media, use_fake=False).collect()
