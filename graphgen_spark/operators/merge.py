@@ -28,6 +28,31 @@ from pyspark.sql.functions import pandas_udf
 
 SEP = "<SEP>"
 MAX_SUMMARY_TOKENS = 200
+# Zipf-hot entities collect 10^5+ distinct descriptions/source ids at
+# scale; the merged description is truncated to MAX_SUMMARY_TOKENS
+# anyway (reference summary gate), so keeping only the K
+# lexicographically-smallest distinct values is a deterministic,
+# semantics-bounded cap that turns an unbounded skewed reduce into a
+# bounded one.  Full mention counts are preserved separately.
+MAX_MERGED_VALUES = 64
+N_SALTS = 16
+
+
+def _capped_sorted_set(col: str, cap: int = MAX_MERGED_VALUES):
+    """Aggregate: K smallest distinct values of ``col`` (deterministic
+    under any partitioning)."""
+    return F.slice(F.array_sort(F.collect_set(col)), 1, cap)
+
+
+def _merge_capped(partials_col: str, cap: int = MAX_MERGED_VALUES):
+    """Combine per-salt partial capped sets into the global K smallest."""
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(partials_col)))
+        ),
+        1,
+        cap,
+    )
 
 
 @pandas_udf(T.StringType())
@@ -70,12 +95,24 @@ def merge_nodes(entities: DataFrame) -> DataFrame:
         .select("entity_name", "entity_type")
     )
 
-    merged = entities.groupBy("entity_name").agg(
-        F.array_join(
-            F.array_sort(F.collect_set("description")), SEP
-        ).alias("description_merged"),
-        F.array_sort(F.collect_set("source_id")).alias("source_ids"),
-        F.count(F.lit(1)).alias("n_mentions"),
+    # two-phase salted aggregation: phase 1 reduces each hot key on
+    # N_SALTS reducers to capped partial sets + partial counts; phase 2
+    # merges the tiny partials.  No single reducer ever sees an
+    # unbounded value list for a hot entity.
+    salted = entities.withColumn(
+        "_salt", F.pmod(F.xxhash64("source_id", "description"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("entity_name", "_salt").agg(
+        _capped_sorted_set("description").alias("_descs"),
+        _capped_sorted_set("source_id").alias("_srcs"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    merged = partial.groupBy("entity_name").agg(
+        F.array_join(_merge_capped("_descs"), SEP).alias(
+            "description_merged"
+        ),
+        _merge_capped("_srcs").alias("source_ids"),
+        F.sum("_cnt").alias("n_mentions"),
     )
     nodes = (
         merged.join(top_type, "entity_name")
@@ -94,12 +131,20 @@ def merge_edges(relations: DataFrame, nodes: DataFrame) -> DataFrame:
     edges(src_id, tgt_id, description, source_ids, length); endpoints
     must both exist in nodes (left-semi joins, broadcast by AQE when
     the node side is small)."""
-    merged = relations.groupBy("src_id", "tgt_id").agg(
-        F.array_join(
-            F.array_sort(F.collect_set("description")), SEP
-        ).alias("description_merged"),
-        F.array_sort(F.collect_set("source_id")).alias("source_ids"),
-        F.count(F.lit(1)).alias("n_mentions"),
+    salted = relations.withColumn(
+        "_salt", F.pmod(F.xxhash64("source_id", "description"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("src_id", "tgt_id", "_salt").agg(
+        _capped_sorted_set("description").alias("_descs"),
+        _capped_sorted_set("source_id").alias("_srcs"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    merged = partial.groupBy("src_id", "tgt_id").agg(
+        F.array_join(_merge_capped("_descs"), SEP).alias(
+            "description_merged"
+        ),
+        _merge_capped("_srcs").alias("source_ids"),
+        F.sum("_cnt").alias("n_mentions"),
     )
     node_names = nodes.select(F.col("entity_name").alias("_nn"))
     edges = (

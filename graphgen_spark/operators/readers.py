@@ -1,0 +1,135 @@
+"""Unified multi-format document readers (reference ``operators/read/
+read.py:152-229`` + ``models/reader/*``).
+
+The reference groups input files by suffix, reads each format with a
+dedicated reader, validates rows (``bases/base_reader.py:32-68``:
+``type`` column required; text rows with blank ``content`` dropped),
+assigns md5 trace ids, unions the per-format datasets, and applies an
+optional row limit.
+
+Spark mapping: ``spark.read.{json,csv,parquet,text,binaryFile}`` per
+suffix group; validation is a filter; trace ids are native md5
+expressions; the union is ``unionByName(allowMissingColumns=True)``.
+Directory listing/pruning is Spark's InMemoryFileIndex — the
+reference's threaded ``ParallelFileScanner`` with its mtime KV cache
+is unnecessary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TEXT_SUFFIXES = {".txt", ".md"}
+JSON_SUFFIXES = {".json", ".jsonl"}
+CSV_SUFFIXES = {".csv"}
+PARQUET_SUFFIXES = {".parquet"}
+
+ALLOWED_DOC_TYPES = (
+    "text", "image", "table", "equation", "protein", "dna", "rna"
+)
+
+
+def _suffix(path: str) -> str:
+    return os.path.splitext(path)[1].lower()
+
+
+def read_json_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """json/jsonl -> docs; nested dict ``content`` is re-serialized to
+    a string (reference JSONReader schema unify,
+    ``models/reader/json_reader.py:19-59``)."""
+    df = spark.read.option("multiLine", "false").json(paths)
+    if "type" not in df.columns:
+        df = df.withColumn("type", F.lit("text"))
+    if (
+        "content" in df.columns
+        and df.schema["content"].dataType.typeName() != "string"
+    ):
+        df = df.withColumn("content", F.to_json("content"))
+    return df
+
+
+def read_csv_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    return spark.read.option("header", "true").csv(paths)
+
+
+def read_parquet_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    return spark.read.parquet(*paths)
+
+
+def read_text_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """one doc per file: binaryFile scan + utf-8 decode (reference
+    TXTReader, ``models/reader/txt_reader.py:11-36``)."""
+    df = spark.read.format("binaryFile").load(paths)
+    return df.select(
+        F.lit("text").alias("type"),
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+        F.col("path").alias("source_path"),
+    )
+
+
+def validate_docs(df: DataFrame) -> DataFrame:
+    """Reader validation (``base_reader.py:54-68``): require ``type``;
+    drop text rows whose content is blank."""
+    if "type" not in df.columns:
+        raise ValueError("missing required column: type")
+    if "content" not in df.columns:
+        df = df.withColumn("content", F.lit(None).cast("string"))
+    return df.where(
+        (F.col("type") != "text")
+        | (
+            F.col("content").isNotNull()
+            & (F.trim(F.col("content")) != "")
+        )
+    )
+
+
+def with_trace_id(df: DataFrame, op: str = "read") -> DataFrame:
+    """Deterministic md5 trace id over the sorted row content
+    (reference ``utils/hash.py:12-14`` + ``read.py:132-142``)."""
+    cols = sorted(c for c in df.columns if not c.startswith("_"))
+    return df.withColumn(
+        "_trace_id",
+        F.concat(
+            F.lit(f"{op}-"),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])),
+        ),
+    )
+
+
+def read_documents(
+    spark: SparkSession,
+    input_paths: list[str],
+    read_nums: int | None = None,
+) -> DataFrame:
+    """Multi-format unified read: group by suffix, per-format read,
+    validate, trace-id, union, optional limit (reference
+    ``read.py:152-229``)."""
+    groups: dict[str, list[str]] = {}
+    for p in input_paths:
+        groups.setdefault(_suffix(p), []).append(p)
+
+    parts: list[DataFrame] = []
+    for suffix, paths in sorted(groups.items()):
+        if suffix in JSON_SUFFIXES:
+            df = read_json_docs(spark, paths)
+        elif suffix in CSV_SUFFIXES:
+            df = read_csv_docs(spark, paths)
+        elif suffix in PARQUET_SUFFIXES:
+            df = read_parquet_docs(spark, paths)
+        elif suffix in TEXT_SUFFIXES:
+            df = read_text_docs(spark, paths)
+        else:
+            raise ValueError(f"unsupported suffix: {suffix}")
+        if "type" not in df.columns:
+            df = df.withColumn("type", F.lit("text"))
+        parts.append(with_trace_id(validate_docs(df)))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    if read_nums is not None:
+        out = out.limit(read_nums)
+    return out

@@ -116,6 +116,7 @@ def run_kg_pipeline(
     chunk_overlap: int = 100,
     extraction_partitions: int | None = None,
     verify_text_invariant: bool = False,
+    precomputed_labels: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full spine; returns the named intermediate + final
     DataFrames (all lazy except the CC fixpoint inside alias_labels)."""
@@ -139,14 +140,18 @@ def run_kg_pipeline(
     entities = entities_from_records(records)
     relations = relations_from_records(records)
 
-    # localCheckpoint the label table: it is broadcast three times
-    # (entity names + both relation endpoints) and must not re-run the
-    # CC fixpoint per broadcast
-    labels = (
-        alias_labels(alias_dict).localCheckpoint(eager=True)
-        if alias_dict is not None
-        else None
-    )
+    # The label table is a static asset of the candidate dictionary
+    # (built once per dictionary release, not per corpus batch):
+    # callers that process many batches pass ``precomputed_labels``.
+    # When computed here it is localCheckpointed — it is broadcast
+    # three times (entity names + both relation endpoints) and must
+    # not re-run the CC fixpoint per broadcast.
+    if precomputed_labels is not None:
+        labels = precomputed_labels
+    elif alias_dict is not None:
+        labels = alias_labels(alias_dict).localCheckpoint(eager=True)
+    else:
+        labels = None
     entities_c, relations_c = canonicalize(entities, relations, labels)
 
     nodes = merge_nodes(entities_c)

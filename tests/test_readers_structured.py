@@ -1,0 +1,150 @@
+"""Readers (multi-format + validation), schema-guided extraction,
+rephrasing, and structure-metrics tests."""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphgen_spark.operators.readers import (
+    read_documents,
+    validate_docs,
+    with_trace_id,
+)
+from graphgen_spark.operators.stats import structure_metrics
+from graphgen_spark.operators.structured import extract_structured, rephrase
+
+
+@pytest.fixture(scope="module")
+def input_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    jl = d / "a.jsonl"
+    jl.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"type": "text", "content": "hello world one"},
+                {"type": "text", "content": "   "},          # dropped
+                {"type": "image", "content": ""},            # kept (not text)
+                {"type": "text", "content": "second doc"},
+            ]
+        )
+    )
+    csv = d / "b.csv"
+    csv.write_text("type,content\ntext,from csv\ntext,also csv\n")
+    txt = d / "c.txt"
+    txt.write_text("plain text file contents")
+    return {"jsonl": str(jl), "csv": str(csv), "txt": str(txt)}
+
+
+class TestReaders:
+    def test_multiformat_union_and_validation(self, spark, input_files):
+        df = read_documents(
+            spark, [input_files["jsonl"], input_files["csv"],
+                    input_files["txt"]]
+        )
+        rows = df.collect()
+        contents = {r["content"] for r in rows if r["type"] == "text"}
+        assert "hello world one" in contents
+        assert "from csv" in contents
+        assert "plain text file contents" in contents
+        assert "   " not in contents  # blank text dropped
+        assert any(r["type"] == "image" for r in rows)
+        assert all(r["_trace_id"].startswith("read-") for r in rows)
+
+    def test_read_nums_limit(self, spark, input_files):
+        df = read_documents(spark, [input_files["jsonl"]], read_nums=2)
+        assert df.count() == 2
+
+    def test_validate_requires_type(self, spark):
+        df = spark.createDataFrame([("x",)], ["content"])
+        with pytest.raises(ValueError, match="type"):
+            validate_docs(df)
+
+    def test_trace_id_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("text", "abc"), ("text", "abc")], ["type", "content"]
+        )
+        ids = [r["_trace_id"] for r in with_trace_id(df).collect()]
+        assert ids[0] == ids[1]
+
+
+class TestStructuredExtraction:
+    def test_schema_parse_and_required(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("t1", "Zorvex Dynamics acquired Calyra Labs. More text."),
+                ("t2", "no relations in this one."),
+            ],
+            ["_trace_id", "content"],
+        )
+        schema = T.StructType(
+            [
+                T.StructField("n_tokens", T.IntegerType()),
+                T.StructField("n_sentences", T.IntegerType()),
+                T.StructField("first_relation", T.StringType()),
+                T.StructField("has_relations", T.BooleanType()),
+            ]
+        )
+        out = extract_structured(
+            docs, schema, required=["n_tokens"], text_col="content"
+        )
+        rows = {r["_trace_id"]: r for r in out.collect()}
+        assert rows["t1"]["has_relations"] is True
+        assert "acquired" in rows["t1"]["first_relation"]
+        assert rows["t2"]["first_relation"] is None
+        # required-key filter drops nothing here (n_tokens always set)
+        assert len(rows) == 2
+
+    def test_required_filter_drops(self, spark):
+        docs = spark.createDataFrame(
+            [("t1", "some text")], ["_trace_id", "content"]
+        )
+        schema = T.StructType(
+            [T.StructField("missing_key", T.StringType())]
+        )
+        out = extract_structured(
+            docs, schema, required=["missing_key"], text_col="content"
+        )
+        assert out.count() == 0
+
+
+class TestRephrase:
+    def test_styles(self, spark):
+        df = spark.createDataFrame(
+            [("the empire was vast and peaceful.",)], ["answer"]
+        )
+        q = rephrase(df, style="question").collect()[0]
+        assert q["rephrased"].startswith("Is it true that")
+        c = rephrase(df, style="concise").collect()[0]
+        assert len(c["rephrased"].split()) < 6
+        f = rephrase(df, style="formal").collect()[0]
+        assert f["rephrased"].startswith("[formal]")
+        with pytest.raises(ValueError):
+            rephrase(df, style="nope")
+
+
+class TestStructureMetrics:
+    def test_metrics_on_known_graph(self, spark):
+        # star of 12 + 3 isolated nodes
+        nodes = spark.createDataFrame(
+            [(f"n{i}", "t", "d", ["c"], 1, 1) for i in range(15)],
+            ["entity_name", "entity_type", "description", "source_ids",
+             "length", "n_mentions"],
+        )
+        edges = spark.createDataFrame(
+            [("n0", f"n{i}", "d", ["c"], 1, 1) for i in range(1, 12)],
+            ["src_id", "tgt_id", "description", "source_ids", "length",
+             "n_mentions"],
+        )
+        m = structure_metrics(nodes, edges)
+        assert m["total_nodes"] == 15
+        assert m["total_edges"] == 11
+        assert abs(m["noise_ratio"] - 3 / 15) < 1e-9
+        assert abs(m["largest_cc_ratio"] - 12 / 15) < 1e-9
+        assert abs(m["avg_degree"] - 22 / 15) < 1e-9
+        # degree histogram: {11:1, 1:11} -> 2 points < 3 -> r2 None
+        assert m["powerlaw_r2"] is None
+        assert m["is_robust"] is False
