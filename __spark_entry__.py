@@ -348,6 +348,95 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_supplier_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution operator (stats.degree_table) over a
+    SQL-derivable bipartite graph (supplier-part from lineitem) — the
+    oracle-checkable face of the graph-stats surface."""
+    from graphgen_spark.operators.stats import degree_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src_id"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("tgt_id"),
+    ).distinct()
+    deg = degree_table(edges)
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-minute gap starts a new session (lag +
+    cumulative sum window) — per-user session counts + mean length."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp").cast("double")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            ts - F.lag(ts).over(w) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate operator over generated QA: token length + MTLD
+    lexical diversity per generation mode (rows-only: MTLD is an
+    order-dependent scan, reference mtld_evaluator.py)."""
+    from graphgen_spark.datapipe.textstats import mtld_udf
+    from graphgen_spark.operators.generate import generate_qa
+    from graphgen_spark.operators.partitioners import (
+        bfs_partition,
+        community_to_batches,
+    )
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
+        eager=True
+    )
+    batches = community_to_batches(comms, nodes, edges).localCheckpoint(
+        eager=True
+    )
+    qa = None
+    for mode in ("atomic", "aggregated", "true_false"):
+        part = generate_qa(batches, mode=mode)
+        qa = part if qa is None else qa.unionByName(part)
+    return (
+        qa.withColumn("mtld", mtld_udf("answer"))
+        .withColumn(
+            "answer_tokens", F.size(F.split(F.trim("answer"), r"\s+"))
+        )
+        .groupBy("mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("answer_tokens"), 4).alias("avg_answer_tokens"),
+            F.round(F.avg("mtld"), 4).alias("avg_mtld"),
+        )
+        .orderBy("mode")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -358,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": _q_filter_range,
         "parts_never_ordered": _q_parts_never_ordered,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
+        "supplier_part_degrees": _q_supplier_part_degrees,
+        "events_sessions": _q_events_sessions,
+        "qa_eval_metrics": _q_qa_eval_metrics,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_quality_by_lang": _q_doc_quality,
         "embedding_centroids": _q_embedding_centroids,
@@ -447,6 +539,46 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
             ORDER BY keep_doc_id
+        """,
+        "supplier_part_degrees": """
+            WITH edges AS (
+                SELECT DISTINCT 'p:' || l_partkey AS src_id,
+                                's:' || l_suppkey AS tgt_id
+                FROM lineitem
+            ),
+            deg AS (
+                SELECT entity_name, count(*) AS degree FROM (
+                    SELECT src_id AS entity_name FROM edges
+                    UNION ALL
+                    SELECT tgt_id FROM edges
+                ) GROUP BY entity_name
+            )
+            SELECT degree, count(*) AS n_nodes
+            FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "events_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM g
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   round(avg(n_events), 6) AS avg_events_per_session
+            FROM per_session GROUP BY user_id ORDER BY user_id
         """,
         "ngram_jaccard_pairs": r"""
             WITH sh AS (

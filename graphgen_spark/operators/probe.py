@@ -85,32 +85,43 @@ def quiz(nodes: DataFrame, edges: DataFrame, quiz_samples: int = 2) -> DataFrame
     return qn.unionByName(qe)
 
 
-def _mock_yes_prob(statement: str) -> float:
-    """Deterministic trainee stand-in: hash-derived P(yes) in
-    [0.05, 0.95] — anti-statements ('Contradicted:') skew toward no."""
+def _mock_topk_candidates(statement: str) -> list:
+    """Deterministic trainee stand-in: top-k (token, prob) over yes/no
+    synonyms + an uncertain token, hash-derived per statement —
+    the exact payload shape ``generate_topk_per_token`` returns in the
+    reference (``judge_service.py:33-38``)."""
     import hashlib
 
     h = int.from_bytes(
         hashlib.blake2b(statement.encode(), digest_size=8).digest(), "big"
     )
-    base = 0.05 + 0.9 * (h / 2**64)
+    base = 0.05 + 0.9 * ((h % 10_000) / 10_000)
     if statement.startswith("Contradicted:"):
-        return 1.0 - base * 0.7
-    return base
+        base = 1.0 - base * 0.7
+    p_yes = base * 0.8
+    p_yeah = base * 0.2
+    rest = 1.0 - base
+    return [
+        ("yes", p_yes),
+        ("yeah", p_yeah),
+        ("no", rest * 0.9),
+        ("hmm", rest * 0.1),
+    ]
 
 
 @F.pandas_udf(T.DoubleType())
 def judge_loss_udf(quiz: pd.Series, ground_truth: pd.Series) -> pd.Series:
-    """Per-statement −log p(correct) (yes_no_loss_entropy for one
-    statement, ``utils/calculate_confidence.py:148-159``)."""
+    """Per-statement −log p(correct) with yes/no synonym-mass
+    normalization (reference ``yes_no_loss_entropy`` +
+    ``_normalize_yes_no``, ``utils/calculate_confidence.py:52-159``)."""
+    from graphgen_spark.confidence import yes_no_loss_entropy
 
-    def one(q, gt):
-        p_yes = _mock_yes_prob(q)
-        p = p_yes if gt == "yes" else 1.0 - p_yes
-        p = min(max(p, 1e-9), 1.0)
-        return -math.log(p)
-
-    return pd.Series([one(q, g) for q, g in zip(quiz, ground_truth)])
+    return pd.Series(
+        [
+            yes_no_loss_entropy([_mock_topk_candidates(q)], [g])
+            for q, g in zip(quiz, ground_truth)
+        ]
+    )
 
 
 def judge(quizzes: DataFrame) -> DataFrame:

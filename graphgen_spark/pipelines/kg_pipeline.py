@@ -117,9 +117,17 @@ def run_kg_pipeline(
     extraction_partitions: int | None = None,
     verify_text_invariant: bool = False,
     precomputed_labels: DataFrame | None = None,
+    fused: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full spine; returns the named intermediate + final
-    DataFrames (all lazy except the CC fixpoint inside alias_labels)."""
+    DataFrames (all lazy except the CC fixpoint inside alias_labels).
+
+    ``fused=True`` produces the records table in one Python hop
+    (operators.fused) — identical output, one worker per task instead
+    of three chained pandas-UDF evals; the per-stage docs/chunks
+    frames are still returned (built lazily from the composable ops)
+    but the triples/nodes/edges path does not execute them.
+    """
     docs = with_extracted_text(pages, out_col="extracted_text").select(
         "url",
         F.col("extracted_text").alias("text"),
@@ -132,27 +140,52 @@ def run_kg_pipeline(
     # this keeps hot-host pages from skewing a single input split
     if extraction_partitions:
         docs = docs.repartition(extraction_partitions, F.crc32("url"))
+        pages = pages.repartition(extraction_partitions, F.crc32("url"))
 
     chunks = chunk_documents(
         docs, chunk_size=chunk_size, chunk_overlap=chunk_overlap
     )
-    records = extract_records(chunks)
-    entities = entities_from_records(records)
-    relations = relations_from_records(records)
-
-    # The label table is a static asset of the candidate dictionary
-    # (built once per dictionary release, not per corpus batch):
-    # callers that process many batches pass ``precomputed_labels``.
-    # When computed here it is localCheckpointed — it is broadcast
-    # three times (entity names + both relation endpoints) and must
-    # not re-run the CC fixpoint per broadcast.
     if precomputed_labels is not None:
         labels = precomputed_labels
     elif alias_dict is not None:
         labels = alias_labels(alias_dict).localCheckpoint(eager=True)
     else:
         labels = None
-    entities_c, relations_c = canonicalize(entities, relations, labels)
+
+    linked_in_udf = False
+    if fused:
+        from graphgen_spark.operators.fused import pages_to_records
+
+        label_map_bc = None
+        if labels is not None:
+            lp = labels.select("alias_norm", "canonical_key").toPandas()
+            label_map = dict(
+                zip(lp["alias_norm"].tolist(), lp["canonical_key"].tolist())
+            )
+            label_map_bc = spark.sparkContext.broadcast(label_map)
+            linked_in_udf = True
+        records = pages_to_records(
+            pages, chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+            label_map_bc=label_map_bc,
+        )
+    else:
+        records = extract_records(chunks)
+    entities = entities_from_records(records)
+    relations = relations_from_records(records)
+
+    # Entity linking: map-side inside the fused UDF when possible
+    # (one broadcast variable), else the JVM broadcast-join stage.
+    # The label table is a static asset of the candidate dictionary
+    # (built once per release) — batch callers pass precomputed_labels.
+    if linked_in_udf:
+        entities_c, relations_c = (
+            entities,
+            relations.where(F.col("src_id") != F.col("tgt_id")),
+        )
+    else:
+        entities_c, relations_c = canonicalize(
+            entities, relations, labels
+        )
 
     nodes = merge_nodes(entities_c)
     edges = merge_edges(relations_c, nodes)

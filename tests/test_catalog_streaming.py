@@ -1,0 +1,135 @@
+"""Catalog (Iceberg-style partitioned tables), streaming ingest, and
+confidence-kernel tests."""
+
+import math
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphgen_spark import synth
+from graphgen_spark.catalog import (
+    has_iceberg,
+    load_table,
+    save_kg,
+    save_table,
+    upsert_insert_only,
+    with_bucket,
+)
+from graphgen_spark.confidence import normalize_yes_no, yes_no_loss_entropy
+
+
+class TestConfidence:
+    def test_docstring_example(self):
+        # reference _normalize_yes_no docstring (:55-61)
+        dist = normalize_yes_no(
+            [("yes", 0.6), ("yeah", 0.2), ("no", 0.1), ("nope", 0.1)]
+        )
+        assert abs(dist["yes"] - 0.8) < 1e-9
+        assert abs(dist["no"] - 0.2) < 1e-9
+
+    def test_uncertain_counts_against_gt(self):
+        loss_clean = yes_no_loss_entropy([[("yes", 1.0)]], ["yes"])
+        loss_uncertain = yes_no_loss_entropy(
+            [[("yes", 0.5), ("banana", 0.5)]], ["yes"]
+        )
+        assert loss_clean < 1e-9
+        assert abs(loss_uncertain - (-math.log(0.5))) < 1e-9
+
+    def test_zh_synonyms(self):
+        dist = normalize_yes_no([("是", 0.7), ("不是", 0.3)])
+        assert abs(dist["yes"] - 0.7) < 1e-9
+
+    def test_mean_over_statements(self):
+        loss = yes_no_loss_entropy(
+            [[("yes", 0.5), ("no", 0.5)], [("no", 1.0)]], ["yes", "no"]
+        )
+        assert abs(loss - (-math.log(0.5) + 0.0) / 2) < 1e-9
+
+
+class TestCatalog:
+    def test_no_iceberg_in_sandbox(self, spark):
+        assert has_iceberg(spark) is False
+
+    def test_bucketed_save_load(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(50)], ["url", "v"]
+        )
+        save_table(spark, df, str(tmp_path), "t1", bucket_key="url",
+                   n_buckets=8)
+        back = load_table(spark, str(tmp_path), "t1")
+        assert back.count() == 50
+        assert "part_bucket" in back.columns
+        assert back.select("part_bucket").distinct().count() <= 8
+        # bucket assignment is deterministic (co-location property)
+        b = with_bucket(df, "url", 8).select("url", "part_bucket")
+        b2 = with_bucket(df.repartition(7), "url", 8).select(
+            "url", "part_bucket"
+        )
+        assert {tuple(r) for r in b.collect()} == {
+            tuple(r) for r in b2.collect()
+        }
+
+    def test_insert_only_upsert(self, spark, tmp_path):
+        a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+        upsert_insert_only(spark, a, str(tmp_path), "t2", ["k"])
+        b = spark.createDataFrame([(2, "CHANGED"), (3, "z")], ["k", "v"])
+        final = upsert_insert_only(spark, b, str(tmp_path), "t2", ["k"])
+        rows = {r["k"]: r["v"] for r in final.collect()}
+        # insert-only: existing key 2 NOT overwritten
+        assert rows == {1: "x", 2: "y", 3: "z"}
+
+    def test_save_kg_layout(self, spark, tmp_path):
+        pages = synth.pages_df(spark, 20, 100)
+        from graphgen_spark.pipelines import run_kg_pipeline
+
+        out = run_kg_pipeline(
+            spark, pages, alias_dict=synth.alias_dictionary_df(spark, 100),
+            chunk_size=256, chunk_overlap=32,
+        )
+        save_kg(spark, out, str(tmp_path), n_buckets=4)
+        for name in ("triples", "chunks", "nodes", "edges"):
+            t = load_table(spark, str(tmp_path), name)
+            assert t.count() > 0, name
+            assert "part_bucket" in t.columns
+
+
+class TestStreamingIngest:
+    def test_drain_and_resume_semantics(self, spark, tmp_path):
+        from graphgen_spark.streaming import start_kg_ingest
+
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        sckpt = str(tmp_path / "sckpt")
+        alias = synth.alias_dictionary_df(spark, 100)
+
+        # batch 1 lands
+        synth.pages_df(spark, 15, 100).write.mode("overwrite").parquet(
+            landing
+        )
+        q = start_kg_ingest(spark, landing, ckpt, sckpt, alias_dict=alias,
+                            chunk_size=256, chunk_overlap=32)
+        q.awaitTermination(120)
+        t1 = spark.read.parquet(f"{ckpt}/triples")
+        n1 = t1.count()
+        assert n1 > 0
+
+        # batch 2 lands (new pages): stream picks up ONLY new files
+        synth.pages_df(spark, 30, 100).where(
+            ~F.col("url").isin(
+                [r["url"] for r in spark.read.parquet(landing)
+                 .select("url").collect()]
+            )
+        ).write.mode("append").parquet(landing)
+        q2 = start_kg_ingest(spark, landing, ckpt, sckpt, alias_dict=alias,
+                             chunk_size=256, chunk_overlap=32)
+        q2.awaitTermination(120)
+        t2 = spark.read.parquet(f"{ckpt}/triples")
+        n2 = t2.count()
+        assert n2 >= n1
+        # no duplicate chunks across micro-batches
+        chunks = spark.read.parquet(f"{ckpt}/chunks")
+        assert chunks.count() == chunks.select(
+            "chunk_id", "url"
+        ).distinct().count()

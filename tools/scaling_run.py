@@ -32,26 +32,41 @@ spark = SparkSession.builder.appName("scaling_run").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 cpus = spark.sparkContext.defaultParallelism
 
+import os
+
+# corpus + dictionary labels are landed as parquet ONCE (any process);
+# the measured session reads them back like production
+corpus_dir = f"/dev/shm/scaling_pages_{n_pages}"
+labels_dir = f"/dev/shm/scaling_labels_{n_ent}"
+dict_prep = 0.0
+if not os.path.exists(corpus_dir):
+    # 64 files so the scan provides parallelism at every level tested
+    # (one ~5 MB parquet file = one input split here)
+    synth.pages_df(spark, n_pages, n_ent).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+if not os.path.exists(labels_dir):
+    t0 = time.time()
+    alias = synth.alias_dictionary_df(spark, n_ent)
+    alias_labels(alias).repartition(8).write.mode("overwrite").parquet(
+        labels_dir
+    )
+    dict_prep = time.time() - t0
+
 # JVM/python-worker warmup on a tiny slice (identical at both levels)
+labels = spark.read.parquet(labels_dir)
 warm = run_kg_pipeline(
     spark, synth.pages_df(spark, 64, n_ent),
-    alias_dict=synth.alias_dictionary_df(spark, 64),
-    chunk_size=512, chunk_overlap=64,
+    precomputed_labels=labels, chunk_size=512, chunk_overlap=64,
+    fused=True,
 )
 warm["triples"].count()
 
-# dictionary prep (timed separately)
-t0 = time.time()
-alias = synth.alias_dictionary_df(spark, n_ent)
-labels = alias_labels(alias).localCheckpoint(eager=True)
-labels.count()
-dict_prep = time.time() - t0
-
-pages = synth.pages_df(spark, n_pages, n_ent)
+pages = spark.read.parquet(corpus_dir)
 t0 = time.time()
 out = run_kg_pipeline(
     spark, pages, chunk_size=512, chunk_overlap=64,
-    precomputed_labels=labels,
+    precomputed_labels=labels, fused=True,
 )
 n = out["triples"].count()
 steady = time.time() - t0
