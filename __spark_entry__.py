@@ -131,6 +131,31 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result["triples"].orderBy("url", "subj", "obj", "pred")
 
 
+def _q_kg_triple_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-accuracy evaluate operator (rows-only: the judge scores
+    come from the deterministic LLM stand-in): per-chunk entity /
+    relation extraction quality via the lineage join
+    (reference operators/evaluate/evaluate_triple.py)."""
+    from graphgen_spark.operators.chunking import chunk_documents
+    from graphgen_spark.operators.evaluate import evaluate_triples
+    from graphgen_spark.operators.kg_extract import extract_records
+
+    pages = _pages_for(spark, sf_dir)
+    chunks = chunk_documents(pages, chunk_size=512, chunk_overlap=64)
+    records = extract_records(chunks)
+    scored = evaluate_triples(chunks, records)
+    return scored.select(
+        "chunk_id",
+        "url",
+        "n_entities",
+        "n_relations",
+        F.round("entity_accuracy.overall_score", 4).alias("entity_score"),
+        F.round("relation_accuracy.overall_score", 4).alias(
+            "relation_score"
+        ),
+    ).orderBy("chunk_id")
+
+
 def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url coverage statistics over the triples table."""
     from graphgen_spark.operators.stats import coverage_by_url
@@ -457,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
+        "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
         "kg_qa_pairs": _q_kg_qa_pairs,

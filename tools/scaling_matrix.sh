@@ -6,13 +6,20 @@ set -u
 N_PAGES="${1:-160000}"
 REPEATS="${2:-3}"
 OUT="${3:-/root/repo/BENCH_SCALING.jsonl}"
+# N=2 vs 4N=8: the widest pair whose total busy vCPUs (python workers
+# + JVM task threads) stays under this host's ~12-vCPU steal threshold
+# — above it the hypervisor visibly steals cycles (see BASELINE.md
+# "hardware ceiling" probe), which measures the host, not the code.
+# maxPartitionBytes=2m keeps the 64-file corpus at 64 input splits so
+# the scan offers 8x task slack at the widest level.
 : > "$OUT"
 for i in $(seq 1 "$REPEATS"); do
-  for CFG in "4 8" "16 32"; do
+  for CFG in "2 8" "8 16"; do
     set -- $CFG
     CORES=$1; PARTS=$2
     timeout 590 spark-submit --master "local[$CORES]" --driver-memory 8g \
       --conf spark.local.dir=/dev/shm/spark-local \
+      --conf spark.sql.files.maxPartitionBytes=2m \
       --conf spark.sql.shuffle.partitions=$PARTS \
       /root/repo/tools/scaling_run.py "$N_PAGES" 2>/dev/null | tail -1 >> "$OUT"
   done
