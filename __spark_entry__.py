@@ -131,6 +131,25 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result["triples"].orderBy("url", "subj", "obj", "pred")
 
 
+def _q_rephrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style-controlled rephrase operator (reference rephrase_service)
+    over documents, two deterministic styles — oracle-checkable
+    because the stand-in transforms are pure string functions."""
+    from graphgen_spark.operators.structured import rephrase
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("answer"))
+    )
+    q = rephrase(docs, style="question")
+    c = rephrase(docs, style="concise")
+    return (
+        q.unionByName(c)
+        .select("doc_id", "style", "rephrased")
+        .orderBy("doc_id", "style")
+    )
+
+
 def _q_kg_triple_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple-accuracy evaluate operator (rows-only: the judge scores
     come from the deterministic LLM stand-in): per-chunk entity /
@@ -475,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_degrees": _q_supplier_part_degrees,
         "events_sessions": _q_events_sessions,
         "qa_eval_metrics": _q_qa_eval_metrics,
+        "rephrase_docs": _q_rephrase_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_quality_by_lang": _q_doc_quality,
         "embedding_centroids": _q_embedding_centroids,
@@ -581,6 +601,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT degree, count(*) AS n_nodes
             FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "rephrase_docs": r"""
+            WITH q AS (
+                SELECT doc_id, 'question' AS style,
+                       'Is it true that ' || rtrim(text, '.') || '?'
+                           AS rephrased
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, 'concise' AS style,
+                       array_to_string(
+                           list_slice(
+                               regexp_split_to_array(trim(text), '\s+'),
+                               1,
+                               greatest(
+                                   len(regexp_split_to_array(
+                                       trim(text), '\s+')) // 2,
+                                   3)
+                           ), ' ') AS rephrased
+                FROM documents
+            )
+            SELECT * FROM q UNION ALL SELECT * FROM c
+            ORDER BY doc_id, style
         """,
         "events_sessions": """
             WITH g AS (

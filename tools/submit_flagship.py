@@ -2,14 +2,24 @@
 way a cluster user would (north_rule: launched via spark-submit
 --py-files), print plan + sample triples + counts.
 
-Usage:
+Usage (cluster):
+  python tools/make_pyfiles.py
+  spark-submit --master yarn --py-files dist/graphgen_spark.zip \
+      tools/submit_flagship.py <pages_dir>
+Usage (local):
   spark-submit --master local[8] tools/submit_flagship.py [sf_dir]
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+try:
+    import graphgen_spark  # noqa: F401  (present when shipped via --py-files)
+except ImportError:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 from pyspark.sql import SparkSession
 
