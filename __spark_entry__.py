@@ -255,7 +255,7 @@ def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
     pages = _pages_for(spark, sf_dir)
     out = run_kg_pipeline(
         spark, pages, alias_dict=_alias_dict(spark),
-        chunk_size=512, chunk_overlap=64,
+        chunk_size=512, chunk_overlap=64, persist_records=True,
     )
     # materialize: downstream probe/partition stages (and the CC
     # fixpoint inside them) reference the graph many times

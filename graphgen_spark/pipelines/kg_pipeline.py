@@ -118,6 +118,7 @@ def run_kg_pipeline(
     verify_text_invariant: bool = False,
     precomputed_labels: DataFrame | None = None,
     fused: bool = False,
+    persist_records: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full spine; returns the named intermediate + final
     DataFrames (all lazy except the CC fixpoint inside alias_labels).
@@ -127,6 +128,16 @@ def run_kg_pipeline(
     of three chained pandas-UDF evals; the per-stage docs/chunks
     frames are still returned (built lazily from the composable ops)
     but the triples/nodes/edges path does not execute them.
+
+    ``persist_records=True`` caches the records table
+    (MEMORY_AND_DISK). The nodes and edges plans each reference
+    records on several DAG branches (entity agg + salt-count,
+    relation agg + two endpoint semi-joins), so a caller that
+    materializes more than one output would otherwise re-run the
+    Python extraction per branch — ~6 scans in the edges plan alone.
+    Single-output callers (triples only) should leave it off; the
+    checkpointed production pipeline gets the same effect by landing
+    records as a stage table.
     """
     docs = with_extracted_text(pages, out_col="extracted_text").select(
         "url",
@@ -170,6 +181,10 @@ def run_kg_pipeline(
         )
     else:
         records = extract_records(chunks)
+    if persist_records:
+        from pyspark.storagelevel import StorageLevel
+
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
     entities = entities_from_records(records)
     relations = relations_from_records(records)
 
