@@ -26,6 +26,7 @@ TEXT_SUFFIXES = {".txt", ".md"}
 JSON_SUFFIXES = {".json", ".jsonl"}
 CSV_SUFFIXES = {".csv"}
 PARQUET_SUFFIXES = {".parquet"}
+RDF_SUFFIXES = {".nt"}
 
 ALLOWED_DOC_TYPES = (
     "text", "image", "table", "equation", "protein", "dna", "rna"
@@ -86,6 +87,73 @@ def validate_docs(df: DataFrame) -> DataFrame:
     )
 
 
+_NT_LINE = (
+    r'^\s*<([^>]*)>\s+<([^>]*)>\s+'      # <subject> <predicate>
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"[^.]*)'  # <iri> or "literal"(@lang|^^type)
+    r'\s*\.\s*$'
+)
+
+
+def read_rdf_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """N-Triples -> one doc per subject (reference RDFReader,
+    ``models/reader/rdf_reader.py:71-134``: content = joined literal
+    objects, ``properties`` = predicate -> objects map).
+
+    Spark mapping: line-oriented N-Triples is the one RDF syntax that
+    scans distributed — ``spark.read.text`` + JVM regex parse +
+    groupBy(subject); no rdflib, no per-row Python.  (Turtle/OWL need
+    a stateful parser and a whole-file read; out of scope like the
+    reference's other external-tool readers.)
+    """
+    lines = spark.read.text(paths).select(
+        F.col("value"),
+        F.input_file_name().alias("source_path"),
+    )
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_LINE, 1).alias("subj"),
+        F.regexp_extract("value", _NT_LINE, 2).alias("pred"),
+        F.regexp_extract("value", _NT_LINE, 3).alias("obj_iri"),
+        F.regexp_extract("value", _NT_LINE, 4).alias("obj_lit"),
+        "source_path",
+    ).where(F.col("subj") != "")
+    triples = parsed.select(
+        "subj",
+        "pred",
+        F.when(F.col("obj_iri") != "", F.col("obj_iri"))
+        .otherwise(F.col("obj_lit"))
+        .alias("obj"),
+        (F.col("obj_iri") == "").alias("is_literal"),
+        "source_path",
+    )
+    # two-level agg: pred-level object lists first (reference props
+    # are pred -> list), then subject-level map + joined literals;
+    # everything sorted for cross-parallelism determinism
+    per_pred = triples.groupBy("subj", "source_path", "pred").agg(
+        F.array_sort(F.collect_list("obj")).alias("objs"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("is_literal"), F.col("obj")))
+        ).alias("lits"),
+    )
+    return (
+        per_pred.groupBy("subj", "source_path")
+        .agg(
+            F.array_join(
+                F.flatten(F.array_sort(F.collect_list("lits"))), " "
+            ).alias("content"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("pred", "objs")))
+            ).alias("properties"),
+        )
+        .select(
+            F.lit("text").alias("type"),
+            F.col("subj").alias("id"),
+            F.trim("content").alias("content"),
+            "properties",
+            "source_path",
+        )
+    )
+
+
 def with_trace_id(df: DataFrame, op: str = "read") -> DataFrame:
     """Deterministic md5 trace id over the sorted row content
     (reference ``utils/hash.py:12-14`` + ``read.py:132-142``)."""
@@ -121,6 +189,8 @@ def read_documents(
             df = read_parquet_docs(spark, paths)
         elif suffix in TEXT_SUFFIXES:
             df = read_text_docs(spark, paths)
+        elif suffix in RDF_SUFFIXES:
+            df = read_rdf_docs(spark, paths).drop("properties")
         else:
             raise ValueError(f"unsupported suffix: {suffix}")
         if "type" not in df.columns:

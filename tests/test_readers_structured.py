@@ -148,3 +148,51 @@ class TestStructureMetrics:
         # degree histogram: {11:1, 1:11} -> 2 points < 3 -> r2 None
         assert m["powerlaw_r2"] is None
         assert m["is_robust"] is False
+
+
+class TestRDFReader:
+    @pytest.fixture(scope="class")
+    def nt_file(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("rdf")
+        nt = d / "g.nt"
+        nt.write_text(
+            "\n".join(
+                [
+                    '<http://x/alice> <http://x/name> "Alice Smith" .',
+                    '<http://x/alice> <http://x/knows> <http://x/bob> .',
+                    '<http://x/alice> <http://x/bio> "likes graphs"@en .',
+                    '<http://x/bob> <http://x/name> "Bob" .',
+                    "# a comment line",
+                    "",
+                ]
+            )
+        )
+        return str(nt)
+
+    def test_one_doc_per_subject(self, spark, nt_file):
+        from graphgen_spark.operators.readers import read_rdf_docs
+
+        docs = {r["id"]: r for r in read_rdf_docs(spark, [nt_file]).collect()}
+        assert set(docs) == {"http://x/alice", "http://x/bob"}
+        # content = joined literal objects only (IRIs excluded)
+        assert docs["http://x/alice"]["content"] == "Alice Smith likes graphs"
+        assert docs["http://x/bob"]["content"] == "Bob"
+
+    def test_properties_map(self, spark, nt_file):
+        from graphgen_spark.operators.readers import read_rdf_docs
+
+        alice = (
+            read_rdf_docs(spark, [nt_file])
+            .where(F.col("id") == "http://x/alice")
+            .first()
+        )
+        props = alice["properties"]
+        assert props["http://x/knows"] == ["http://x/bob"]
+        assert props["http://x/name"] == ["Alice Smith"]
+
+    def test_unified_read_with_nt(self, spark, nt_file, input_files):
+        docs = read_documents(
+            spark, [input_files["csv"], nt_file]
+        )
+        assert docs.where(F.col("type") == "text").count() == 4
+        assert "_trace_id" in docs.columns
