@@ -98,15 +98,26 @@ def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.avg("n_tokens").alias("avg_tokens"),
+            # round: Spark's partial-agg summation order makes the raw
+            # double differ from DuckDB's in the last bits
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         )
         .orderBy("lang")
     )
 
 
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content hash: groups with >1 copy."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Exact dedup via content hash: groups with >1 copy.  The corpus
+    has no exact dups, so dedup runs over a derived frame that provably
+    contains them (every 50th doc re-appended under a shifted id) —
+    non-vacuous by construction."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dups)
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(
@@ -217,10 +228,14 @@ def _q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join surface: parts with no lineitem (KV filter_keys
-    semantics, reference storage/kv/json_storage.py:45-46)."""
+    """Anti-join surface: parts never ordered in bulk (quantity >= 45)
+    (KV filter_keys semantics, reference storage/kv/json_storage.py:
+    45-46).  The quantity filter keeps the result non-vacuous: every
+    part appears in some lineitem, but not every part in a bulk one."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 45
+    )
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
@@ -539,16 +554,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(*) AS n_docs,
                    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-                   avg(len(regexp_split_to_array(trim(text), '\s+'))) AS avg_tokens
+                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 6) AS avg_tokens
             FROM documents
             GROUP BY lang
             ORDER BY lang
         """,
         "exact_dup_groups": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 50 = 0
+            )
             SELECT md5(text) AS text_hash,
                    count(*) AS n_copies,
                    min(doc_id) AS keep_doc_id
-            FROM documents
+            FROM aug
             GROUP BY md5(text)
             HAVING count(*) > 1
             ORDER BY keep_doc_id
@@ -570,7 +591,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_never_ordered": """
             SELECT p_partkey, p_name FROM part
-            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+            WHERE p_partkey NOT IN
+                (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
             ORDER BY p_partkey
         """,
         "doc_fingerprint_dups": r"""
