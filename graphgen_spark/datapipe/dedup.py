@@ -221,17 +221,24 @@ def minhash_lsh_dedup(
         .where(F.col("jaccard") >= threshold)
     )
 
-    # group verified pairs into components; keep = min doc_id
+    # group verified pairs into components; keep = NUMERIC min doc_id.
+    # connected_components labels by lexicographic-min string name, so
+    # the numeric group representative is recomputed with a per-
+    # component min over the long ids (doc ids must be integral).
     labels = connected_components(
         verified.select(
             F.col("a").cast("string").alias("src_id"),
             F.col("b").cast("string").alias("tgt_id"),
         )
     )
-    groups = labels.select(
+    members = labels.select(
         F.col("name").cast("long").alias("doc_id"),
-        F.col("component_name").cast("long").alias("group_id"),
+        F.col("component_name").alias("comp"),
     )
+    group_min = members.groupBy("comp").agg(
+        F.min("doc_id").alias("group_id")
+    )
+    groups = members.join(group_min, "comp").select("doc_id", "group_id")
     all_docs = docs.select(F.col(id_col).alias("doc_id"))
     return (
         all_docs.join(groups, "doc_id", "left")

@@ -101,6 +101,19 @@ def append_lineage(
     )
 
 
+def overwrite_lineage(
+    spark: SparkSession, lineage: DataFrame, root: str, op: str
+) -> None:
+    """Replace one op's lineage partition.  For lineage derived from a
+    FULL table (e.g. chunk→triple from the whole triples table) an
+    append would duplicate rows on every resume/no-op re-run; the
+    partition directory is rewritten instead (read-back still recovers
+    ``op`` from the directory name)."""
+    lineage.where(F.col("op") == op).drop("op").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "lineage", f"op={op}"))
+
+
 def observed(df: DataFrame, name: str) -> DataFrame:
     """Attach an observation (row count) readable after the action —
     the Spark-native replacement for the reference's KV bookkeeping."""

@@ -37,11 +37,31 @@ def _suffix(path: str) -> str:
     return os.path.splitext(path)[1].lower()
 
 
-def read_json_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+def read_json_docs(
+    spark: SparkSession, paths: list[str], multiline: bool | None = None
+) -> DataFrame:
     """json/jsonl -> docs; nested dict ``content`` is re-serialized to
     a string (reference JSONReader schema unify,
-    ``models/reader/json_reader.py:19-59``)."""
-    df = spark.read.option("multiLine", "false").json(paths)
+    ``models/reader/json_reader.py:19-59``).
+
+    The reference's canonical ``.json`` format is a pretty-printed
+    whole-file array (``json.load``, see
+    ``examples/input_examples/json_demo.json``), which line-oriented
+    parsing silently shreds into ``_corrupt_record`` rows — so ``.json``
+    defaults to ``multiLine=true`` and ``.jsonl`` to line mode, and a
+    parse that yields ONLY ``_corrupt_record`` fails loudly instead of
+    dropping every row downstream."""
+    if multiline is None:
+        multiline = any(_suffix(p) == ".json" for p in paths)
+    df = spark.read.option(
+        "multiLine", "true" if multiline else "false"
+    ).json(paths)
+    if set(df.columns) <= {"_corrupt_record"}:
+        raise ValueError(
+            f"JSON read produced no parseable columns for {paths}: "
+            f"schema={df.columns}. A whole-file array needs "
+            "multiline=True; one-object-per-line needs multiline=False."
+        )
     if "type" not in df.columns:
         df = df.withColumn("type", F.lit("text"))
     if (
@@ -87,11 +107,29 @@ def validate_docs(df: DataFrame) -> DataFrame:
     )
 
 
+# Groups: 1=subj iri, 2=subj bnode, 3=pred,
+#         4=obj iri, 5=obj bnode, 6=obj literal body.
+# The literal tail is an EXPLICIT datatype/lang-tag alternative —
+# a lazy [^.]* cannot cross the dots inside XSD datatype IRIs
+# ("5"^^<http://www.w3.org/2001/XMLSchema#integer>) and would drop
+# every typed literal.
 _NT_LINE = (
-    r'^\s*<([^>]*)>\s+<([^>]*)>\s+'      # <subject> <predicate>
-    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"[^.]*)'  # <iri> or "literal"(@lang|^^type)
+    r'^\s*(?:<([^>]*)>|(_:\S+))\s+'                  # subject
+    r'<([^>]*)>\s+'                                  # predicate
+    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'      # object
+    r'(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'              # ^^<dtype> | @lang
     r'\s*\.\s*$'
 )
+
+
+def _unescape_nt_literal(col):
+    """N-Triples literal escapes (\\" \\n \\t \\\\ \\uXXXX) are a
+    subset of JSON string escapes -> unescape JVM-side via from_json;
+    fall back to the raw body for sequences JSON lacks (\\UXXXXXXXX)."""
+    unescaped = F.from_json(
+        F.concat(F.lit('["'), col, F.lit('"]')), "array<string>"
+    )[0]
+    return F.coalesce(unescaped, col)
 
 
 def read_rdf_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -110,19 +148,25 @@ def read_rdf_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
         F.input_file_name().alias("source_path"),
     )
     parsed = lines.select(
-        F.regexp_extract("value", _NT_LINE, 1).alias("subj"),
-        F.regexp_extract("value", _NT_LINE, 2).alias("pred"),
-        F.regexp_extract("value", _NT_LINE, 3).alias("obj_iri"),
-        F.regexp_extract("value", _NT_LINE, 4).alias("obj_lit"),
+        F.concat(
+            F.regexp_extract("value", _NT_LINE, 1),
+            F.regexp_extract("value", _NT_LINE, 2),
+        ).alias("subj"),
+        F.regexp_extract("value", _NT_LINE, 3).alias("pred"),
+        F.concat(
+            F.regexp_extract("value", _NT_LINE, 4),
+            F.regexp_extract("value", _NT_LINE, 5),
+        ).alias("obj_res"),
+        F.regexp_extract("value", _NT_LINE, 6).alias("obj_lit"),
         "source_path",
-    ).where(F.col("subj") != "")
+    ).where((F.col("subj") != "") & (F.col("pred") != ""))
     triples = parsed.select(
         "subj",
         "pred",
-        F.when(F.col("obj_iri") != "", F.col("obj_iri"))
-        .otherwise(F.col("obj_lit"))
+        F.when(F.col("obj_res") != "", F.col("obj_res"))
+        .otherwise(_unescape_nt_literal(F.col("obj_lit")))
         .alias("obj"),
-        (F.col("obj_iri") == "").alias("is_literal"),
+        (F.col("obj_res") == "").alias("is_literal"),
         "source_path",
     )
     # two-level agg: pred-level object lists first (reference props
@@ -158,12 +202,16 @@ def with_trace_id(df: DataFrame, op: str = "read") -> DataFrame:
     """Deterministic md5 trace id over the sorted row content
     (reference ``utils/hash.py:12-14`` + ``read.py:132-142``)."""
     cols = sorted(c for c in df.columns if not c.startswith("_"))
+    # coalesce each column to a NULL sentinel: concat_ws SKIPS nulls,
+    # so (a, NULL, b) and (a, b, NULL) would otherwise collide and the
+    # checkpoint anti-join would silently drop one of them
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
     return df.withColumn(
         "_trace_id",
-        F.concat(
-            F.lit(f"{op}-"),
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])),
-        ),
+        F.concat(F.lit(f"{op}-"), F.md5(F.concat_ws("\x1f", *parts))),
     )
 
 

@@ -31,6 +31,7 @@ from graphgen_spark.operators.checkpointing import (
     append_lineage,
     checkpoint_stage,
     lineage_edges,
+    overwrite_lineage,
 )
 from graphgen_spark.operators.chunking import chunk_documents
 from graphgen_spark.operators.kg_extract import (
@@ -145,7 +146,9 @@ def run_checkpointed(
         lineage_edges(new_chunks, "doc_id", "chunk_id", "doc_to_chunk"),
         ckpt_root,
     )
-    append_lineage(
+    # chunk→triple is derived from the FULL triples table every run, so
+    # it is overwritten (append would duplicate rows on each resume)
+    overwrite_lineage(
         spark,
         lineage_edges(
             out["triples"].withColumn(
@@ -157,6 +160,7 @@ def run_checkpointed(
             "chunk_to_triple",
         ),
         ckpt_root,
+        "chunk_to_triple",
     )
 
     out.update({"docs": docs, "chunks": chunks, "records": records})

@@ -93,3 +93,23 @@ class TestResume:
             .select("dst_id").distinct().count()
         )
         assert n_lineage_chunks == n_chunks
+
+
+class TestLineageIdempotence:
+    def test_chunk_to_triple_lineage_no_dup_on_rerun(
+        self, spark, tmp_path
+    ):
+        alias = synth.alias_dictionary_df(spark, N_ENT)
+        pages = synth.pages_df(spark, N_PAGES, N_ENT)
+        root = str(tmp_path / "ckpt_lineage")
+        run_checkpointed(spark, pages, root, alias_dict=alias,
+                         chunk_size=256, chunk_overlap=32)
+        lin = spark.read.parquet(f"{root}/lineage")
+        n1 = lin.where(F.col("op") == "chunk_to_triple").count()
+        d1 = (lin.where(F.col("op") == "chunk_to_triple")
+              .distinct().count())
+        assert n1 == d1  # no dups within one run
+        run_checkpointed(spark, pages, root, alias_dict=alias,
+                         chunk_size=256, chunk_overlap=32)
+        lin2 = spark.read.parquet(f"{root}/lineage")
+        assert lin2.where(F.col("op") == "chunk_to_triple").count() == n1

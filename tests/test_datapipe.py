@@ -230,3 +230,19 @@ class TestMultimodal:
         media = synth_media_df(spark, 3)
         with pytest.raises(Exception, match="NotImplementedError|real decode"):
             extract_features(media, use_fake=False).collect()
+
+
+class TestMinHashNumericGroups:
+    def test_numeric_min_representative(self, spark):
+        # lexicographic min('10','9') = '10'; the contract is NUMERIC
+        # min -> group_id must be 9 for an exact {9, 10} dup pair
+        docs = spark.createDataFrame(
+            [(9, BASE), (10, BASE), (11, "unrelated text entirely here")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in minhash_lsh_dedup(
+            docs, num_perm=64, bands=16, threshold=0.6
+        ).collect()}
+        assert out[9]["group_id"] == 9 and out[9]["keep"]
+        assert out[10]["group_id"] == 9 and not out[10]["keep"]
+        assert out[11]["group_id"] == 11 and out[11]["keep"]

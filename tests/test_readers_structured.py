@@ -196,3 +196,57 @@ class TestRDFReader:
         )
         assert docs.where(F.col("type") == "text").count() == 4
         assert "_trace_id" in docs.columns
+
+
+class TestReaderAdviceFixes:
+    def test_whole_file_json_array(self, spark, tmp_path):
+        # the reference's canonical .json format: pretty-printed
+        # whole-file array (json.load) -> must parse via multiLine
+        p = tmp_path / "arr.json"
+        p.write_text(json.dumps(
+            [
+                {"type": "text", "content": "json array doc one"},
+                {"type": "text", "content": "json array doc two"},
+            ],
+            indent=2,
+        ))
+        docs = read_documents(spark, [str(p)])
+        contents = {r["content"] for r in docs.collect()}
+        assert contents == {"json array doc one", "json array doc two"}
+
+    def test_corrupt_json_fails_loudly(self, spark, tmp_path):
+        from graphgen_spark.operators.readers import read_json_docs
+
+        p = tmp_path / "arr2.json"
+        p.write_text('[\n  {"type": "text",\n  "content": "x"}\n]\n')
+        with pytest.raises(ValueError, match="multiline"):
+            read_json_docs(spark, [str(p)], multiline=False)
+
+    def test_trace_id_null_position(self, spark):
+        # (a, NULL, b) and (a, b, NULL) must NOT collide
+        df = spark.createDataFrame(
+            [("a", None, "b"), ("a", "b", None)], ["c1", "c2", "c3"]
+        )
+        ids = [r["_trace_id"] for r in with_trace_id(df).collect()]
+        assert ids[0] != ids[1]
+
+    def test_nt_typed_literals_blank_nodes_escapes(self, spark, tmp_path):
+        from graphgen_spark.operators.readers import read_rdf_docs
+
+        nt = tmp_path / "typed.nt"
+        nt.write_text("\n".join([
+            '<http://x/a> <http://x/age> '
+            '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+            '<http://x/a> <http://x/quote> "say \\"hi\\"\\nbye" .',
+            '_:b0 <http://x/name> "Blank Node Doc" .',
+            '<http://x/a> <http://x/rel> _:b0 .',
+            '<http://x/a> <http://x/tag> "hello"@en-GB .',
+        ]) + "\n")
+        docs = {r["id"]: r for r in read_rdf_docs(spark, [str(nt)]).collect()}
+        assert set(docs) == {"http://x/a", "_:b0"}
+        a = docs["http://x/a"]
+        assert a["properties"]["http://x/age"] == ["5"]       # typed literal kept
+        assert a["properties"]["http://x/rel"] == ["_:b0"]    # bnode object
+        assert a["properties"]["http://x/tag"] == ["hello"]   # lang tag stripped
+        assert 'say "hi"\nbye' in a["properties"]["http://x/quote"]
+        assert docs["_:b0"]["content"] == "Blank Node Doc"
