@@ -264,7 +264,17 @@ def _q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_CACHE: dict = {}
+
+
 def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the KG for this session+sf.  The graph is a
+    static derived asset shared by every kg_* query; rebuilding it per
+    query would re-run extraction 10+ times in one bench/driver run.
+    localCheckpoint pins the result for the session."""
+    key = (id(spark), sf_dir, "graph")
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
     from graphgen_spark.pipelines import run_kg_pipeline
 
     pages = _pages_for(spark, sf_dir)
@@ -276,7 +286,33 @@ def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
     # fixpoint inside them) reference the graph many times
     nodes = out["nodes"].localCheckpoint(eager=True)
     edges = out["edges"].localCheckpoint(eager=True)
+    out["records"].unpersist()
+    _KG_CACHE[key] = (nodes, edges)
     return nodes, edges
+
+
+def _kg_batches(spark: SparkSession, sf_dir: str):
+    """BFS communities + payload batches over the cached graph (shared
+    by the QA-generation and QA-evaluation queries)."""
+    key = (id(spark), sf_dir, "batches")
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+    from graphgen_spark.operators.partitioners import (
+        bfs_partition,
+        community_to_batches,
+    )
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    # checkpoint: community_to_batches references the communities twice
+    # (node payload + edge payload explodes)
+    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
+        eager=True
+    )
+    batches = community_to_batches(comms, nodes, edges).localCheckpoint(
+        eager=True
+    )
+    _KG_CACHE[key] = batches
+    return batches
 
 
 def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,20 +335,101 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community -> QA generation (aggregated mode, QA_pairs format)."""
     from graphgen_spark.operators.generate import format_qa, generate_qa
-    from graphgen_spark.operators.partitioners import (
-        bfs_partition,
-        community_to_batches,
-    )
 
-    nodes, edges = _kg_nodes_edges(spark, sf_dir)
-    # checkpoint: community_to_batches references the communities twice
-    # (node payload + edge payload explodes)
-    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
-        eager=True
-    )
-    batches = community_to_batches(comms, nodes, edges)
+    batches = _kg_batches(spark, sf_dir)
     qa = generate_qa(batches, mode="aggregated")
     return format_qa(qa, "QA_pairs").orderBy("question")
+
+
+def _mk_kg_qa_mode(mode: str):
+    """Rows-only query factory: one CORRECTNESS entry per generation
+    mode (cot / multi_choice / multi_answer / fill_in_blank /
+    masked_fill_in_blank / quiz / vqa) over the cached communities."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from graphgen_spark.operators.generate import generate_qa
+
+        batches = _kg_batches(spark, sf_dir)
+        qa = generate_qa(batches, mode=mode)
+        return qa.select(
+            "community_id", "mode", "question", "answer",
+            F.coalesce(F.concat_ws(" | ", "options"), F.lit("")).alias(
+                "options_str"
+            ),
+        ).orderBy("community_id", "question")
+
+    return q
+
+
+def _q_fill_in_blank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fill_in_blank generation kernel as a pure string transform
+    over documents (reference fill_in_blank_generator.py row shape:
+    question with a blank + the answer token) — oracle-checkable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.withColumn("toks", toks).where(F.size("toks") >= 4)
+    return t.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(" ", F.slice("toks", 1, 2)),
+            F.lit(" ____ "),
+            F.concat_ws(
+                " ", F.slice("toks", 4, F.size("toks") - F.lit(3))
+            ),
+        ).alias("question"),
+        F.element_at("toks", 3).alias("answer"),
+    ).orderBy("doc_id")
+
+
+def _q_multi_choice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi_choice generation kernel doc-level: 4 candidate tokens
+    (positions 3/7/11/15), sorted into lettered options; answer is the
+    letter of the position-3 token (multi_choice_generator.py shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.withColumn("toks", toks).where(F.size("toks") >= 15)
+    cands = F.array(
+        F.element_at("toks", 3), F.element_at("toks", 7),
+        F.element_at("toks", 11), F.element_at("toks", 15),
+    )
+    t = t.withColumn("cands", cands).where(
+        F.size(F.array_distinct("cands")) == 4
+    ).withColumn("sorted_c", F.array_sort("cands"))
+    opt = F.concat_ws(
+        " | ",
+        F.concat(F.lit("A. "), F.element_at("sorted_c", 1)),
+        F.concat(F.lit("B. "), F.element_at("sorted_c", 2)),
+        F.concat(F.lit("C. "), F.element_at("sorted_c", 3)),
+        F.concat(F.lit("D. "), F.element_at("sorted_c", 4)),
+    )
+    letter = F.element_at(
+        F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")),
+        F.array_position("sorted_c", F.element_at("toks", 3)).cast("int"),
+    )
+    return t.select(
+        "doc_id",
+        F.lit("Which token appears at position 3?").alias("question"),
+        opt.alias("options_str"),
+        letter.alias("answer"),
+    ).orderBy("doc_id")
+
+
+def _q_masked_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The masked_fill_in_blank kernel doc-level: mask every occurrence
+    of a deterministically-chosen token (lexicographic max of the first
+    10) with '{ }' (masked_fill_in_blank_generator.py:110-135 shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.withColumn(
+        "mask_tok", F.array_max(F.slice(toks, 1, 10))
+    ).where(F.col("mask_tok").isNotNull() & (F.col("mask_tok") != ""))
+    return t.select(
+        "doc_id",
+        F.replace(F.col("text"), F.col("mask_tok"), F.lit("{ }")).alias(
+            "question"
+        ),
+        F.col("mask_tok").alias("answer"),
+    ).orderBy("doc_id")
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,18 +582,8 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent scan, reference mtld_evaluator.py)."""
     from graphgen_spark.datapipe.textstats import mtld_udf
     from graphgen_spark.operators.generate import generate_qa
-    from graphgen_spark.operators.partitioners import (
-        bfs_partition,
-        community_to_batches,
-    )
 
-    nodes, edges = _kg_nodes_edges(spark, sf_dir)
-    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
-        eager=True
-    )
-    batches = community_to_batches(comms, nodes, edges).localCheckpoint(
-        eager=True
-    )
+    batches = _kg_batches(spark, sf_dir)
     qa = None
     for mode in ("atomic", "aggregated", "true_false"):
         part = generate_qa(batches, mode=mode)
@@ -521,6 +628,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
         "kg_qa_pairs": _q_kg_qa_pairs,
+        "fill_in_blank_docs": _q_fill_in_blank_docs,
+        "multi_choice_docs": _q_multi_choice_docs,
+        "masked_fill_docs": _q_masked_fill_docs,
+        "kg_qa_cot": _mk_kg_qa_mode("cot"),
+        "kg_qa_multi_choice": _mk_kg_qa_mode("multi_choice"),
+        "kg_qa_multi_answer": _mk_kg_qa_mode("multi_answer"),
+        "kg_qa_fill_in_blank": _mk_kg_qa_mode("fill_in_blank"),
+        "kg_qa_masked_fib": _mk_kg_qa_mode("masked_fill_in_blank"),
+        "kg_qa_quiz": _mk_kg_qa_mode("quiz"),
     }
 
 
@@ -744,6 +860,61 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rank <= 3
             ORDER BY query_id, rank
         """,
+        "fill_in_blank_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(toks[1:2], ' ') || ' ____ '
+                       || array_to_string(toks[4:], ' ') AS question,
+                   toks[3] AS answer
+            FROM t WHERE len(toks) >= 4
+            ORDER BY doc_id
+        """,
+        "multi_choice_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       [toks[3], toks[7], toks[11], toks[15]] AS cands
+                FROM t WHERE len(toks) >= 15
+            ),
+            s AS (
+                SELECT doc_id, toks, list_sort(cands) AS sorted_c
+                FROM c WHERE len(list_distinct(cands)) = 4
+            )
+            SELECT doc_id,
+                   'Which token appears at position 3?' AS question,
+                   'A. ' || sorted_c[1] || ' | B. ' || sorted_c[2]
+                       || ' | C. ' || sorted_c[3] || ' | D. '
+                       || sorted_c[4] AS options_str,
+                   substr('ABCD', list_position(sorted_c, toks[3]), 1)
+                       AS answer
+            FROM s ORDER BY doc_id
+        """,
+        "masked_fill_docs": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_max(regexp_split_to_array(trim(text), '\s+')[1:10])
+                           AS mask_tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   replace(text, mask_tok, '{ }') AS question,
+                   mask_tok AS answer
+            FROM t WHERE mask_tok IS NOT NULL AND mask_tok != ''
+            ORDER BY doc_id
+        """,
+        # kg_qa_{cot,multi_choice,multi_answer,fill_in_blank,
+        # masked_fib,quiz}: community payloads come from the non-SQL
+        # extraction pipeline -> rows-only; the mode kernels themselves
+        # are oracle-checked doc-level by the three queries above and
+        # value-tested in tests/test_generate_modes.py.
         # minhash_dedup_groups / media_features: MinHash permutations
         # and the media decode stub are not SQL-expressible ->
         # rows-only checks (value behavior covered by pytest).
