@@ -143,20 +143,24 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rephrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Style-controlled rephrase operator (reference rephrase_service)
-    over documents, two deterministic styles — oracle-checkable
-    because the stand-in transforms are pure string functions."""
-    from graphgen_spark.operators.structured import rephrase
+    """Style-controlled rephrase operator (reference rephrase_service,
+    8 named templates) over documents — all 8 styles oracle-checked
+    because every stand-in transform is a native string expression."""
+    from graphgen_spark.operators.structured import (
+        REPHRASE_STYLES,
+        rephrase,
+    )
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", F.col("text").alias("answer"))
     )
-    q = rephrase(docs, style="question")
-    c = rephrase(docs, style="concise")
+    out = None
+    for style in REPHRASE_STYLES:
+        part = rephrase(docs, style=style)
+        out = part if out is None else out.unionByName(part)
     return (
-        q.unionByName(c)
-        .select("doc_id", "style", "rephrased")
+        out.select("doc_id", "style", "rephrased")
         .orderBy("doc_id", "style")
     )
 
@@ -741,26 +745,56 @@ def oracle_sql() -> dict[str, str]:
             FROM deg GROUP BY degree ORDER BY degree
         """,
         "rephrase_docs": r"""
-            WITH q AS (
-                SELECT doc_id, 'question' AS style,
-                       'Is it true that ' || rtrim(text, '.') || '?'
-                           AS rephrased
-                FROM documents
-            ),
-            c AS (
-                SELECT doc_id, 'concise' AS style,
-                       array_to_string(
-                           list_slice(
-                               regexp_split_to_array(trim(text), '\s+'),
-                               1,
-                               greatest(
-                                   len(regexp_split_to_array(
-                                       trim(text), '\s+')) // 2,
-                                   3)
-                           ), ' ') AS rephrased
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n,
+                       greatest(
+                           len(regexp_split_to_array(trim(text), '\s+'))
+                               // 2, 1) AS h
                 FROM documents
             )
-            SELECT * FROM q UNION ALL SELECT * FROM c
+            SELECT doc_id, style, rephrased FROM (
+                SELECT doc_id, 'critical_analysis' AS style,
+                       'A critical reading reveals: ' || text
+                           || ' However, ' || toks[1]
+                           || ' warrants scrutiny.' AS rephrased
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'cross_domain_analogy',
+                       'Much like ' || toks[n]
+                           || ' in another domain, ' || text
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'executive_summary',
+                       'In sum: ' || array_to_string(
+                           toks[1:greatest(n // 2, 3)], ' ')
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'first_person_narrative',
+                       'From my perspective, ' || lower(substr(text, 1, 1))
+                           || substr(text, 2)
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'historical_evolution_perspective',
+                       'Initially, ' || array_to_string(toks[1:h], ' ')
+                           || '. Eventually, '
+                           || array_to_string(toks[h+1:n], ' ') || '.'
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'popular_science',
+                       'Imagine: ' || replace(text, '.', '!')
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'qa_dialogue_format',
+                       'Q: What does this passage state? A: ' || text
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'technical_deep_dive',
+                       '[n_tokens=' || n || '] ' || text
+                           || ' (end of analysis)'
+                FROM t
+            )
             ORDER BY doc_id, style
         """,
         "events_sessions": """

@@ -91,6 +91,91 @@ def mock_llm_response(content: str) -> str:
     return f"{RECORD_DELIM}\n".join(records) + COMPLETION_DELIM
 
 
+class GleaningResponder:
+    """Multi-round extraction protocol (reference
+    ``light_rag_kg_builder.py:43-66``): an initial extraction pass,
+    then up to ``max_loop`` IF_LOOP("yes"/"no") + CONTINUE rounds whose
+    responses are CONCATENATED onto the running result before the
+    single final parse — records accumulate across rounds.
+    """
+
+    max_loop = 3
+
+    def initial(self, content: str) -> str:
+        raise NotImplementedError
+
+    def if_loop(self, content: str, round_idx: int, so_far: str) -> str:
+        """'yes' to keep gleaning (reference strips quotes/case)."""
+        return "no"
+
+    def continue_(self, content: str, round_idx: int, so_far: str) -> str:
+        return ""
+
+
+def run_gleaning(responder: GleaningResponder, content: str) -> str:
+    """The reference's glean loop shape (initial -> [IF_LOOP? CONTINUE]*
+    -> concatenated final result)."""
+    final = responder.initial(content)
+    for i in range(responder.max_loop):
+        ans = (
+            responder.if_loop(content, i, final)
+            .strip().strip('"').strip("'").lower()
+        )
+        if ans != "yes":
+            break
+        final += responder.continue_(content, i, final)
+    return final
+
+
+class MockGleaningLLM(GleaningResponder):
+    """Deterministic gleaning stand-in: withholds records past the
+    first ``per_round`` on the initial pass and drips the rest through
+    CONTINUE rounds — exercises IF_LOOP/CONTINUE and cross-round record
+    accumulation end to end.  The concatenated result parses to exactly
+    the single-shot record set (asserted in tests)."""
+
+    def __init__(self, per_round: int = 2, max_loop: int = 3):
+        self.per_round = per_round
+        self.max_loop = max_loop
+
+    def _records(self, content: str) -> List[str]:
+        full = mock_llm_response(content)
+        if not full:
+            return []
+        body = full.replace(COMPLETION_DELIM, "")
+        return [
+            r for r in body.split(f"{RECORD_DELIM}\n") if r.strip()
+        ]
+
+    def _chunk(self, records: List[str], start: int) -> str:
+        part = records[start : start + self.per_round]
+        if not part:
+            return COMPLETION_DELIM
+        tail = (
+            f"{RECORD_DELIM}\n"
+            if start + self.per_round < len(records)
+            else COMPLETION_DELIM
+        )
+        return f"{RECORD_DELIM}\n".join(part) + tail
+
+    def initial(self, content: str) -> str:
+        records = self._records(content)
+        if not records:
+            return ""
+        return self._chunk(records, 0)
+
+    def if_loop(self, content: str, round_idx: int, so_far: str) -> str:
+        remaining = len(self._records(content)) - (
+            (round_idx + 1) * self.per_round
+        )
+        return '"Yes"' if remaining > 0 else "no"
+
+    def continue_(self, content: str, round_idx: int, so_far: str) -> str:
+        return self._chunk(
+            self._records(content), (round_idx + 1) * self.per_round
+        )
+
+
 def parse_extraction_response(
     response: str, chunk_id: str
 ) -> Tuple[List[Dict], List[Dict]]:

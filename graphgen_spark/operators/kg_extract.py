@@ -45,8 +45,12 @@ def extract_records(
 
     ``responder`` maps chunk content to an extraction-response string in
     the GraphGen record grammar (default: the deterministic mock LLM).
-    Pass ``response_col`` instead when responses are precomputed (the
-    fixture/P-R harness path): then only the parser runs.
+    A ``GleaningResponder`` instance instead runs the reference's
+    multi-round IF_LOOP/CONTINUE glean loop
+    (``light_rag_kg_builder.py:43-66``), concatenating rounds before
+    the one final parse.  Pass ``response_col`` when responses are
+    precomputed (the fixture/P-R harness path): then only the parser
+    runs.
     """
     use_response_col = response_col is not None
     cols = ["chunk_id", "url", response_col] if use_response_col else [
@@ -55,11 +59,17 @@ def extract_records(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphgen_spark.extraction import (
+            GleaningResponder,
             mock_llm_response,
             parse_extraction_response,
+            run_gleaning,
         )
 
-        respond = responder or mock_llm_response
+        if isinstance(responder, GleaningResponder):
+            def respond(content):
+                return run_gleaning(responder, content)
+        else:
+            respond = responder or mock_llm_response
         for pdf in batches:
             rows = []
             for chunk_id, url, payload in zip(

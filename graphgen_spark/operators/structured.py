@@ -21,9 +21,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The reference's 8 named style templates
+# (templates/rephrasing/style_controlled_rephrasing/*.py, dispatched by
+# models/rephraser/style_controlled_rephraser.py:9-33).  Each maps to a
+# DISTINCT deterministic transform below.
 REPHRASE_STYLES = (
-    "formal", "informal", "concise", "detailed",
-    "technical", "simple", "question", "narrative",
+    "critical_analysis",
+    "cross_domain_analogy",
+    "executive_summary",
+    "first_person_narrative",
+    "historical_evolution_perspective",
+    "popular_science",
+    "qa_dialogue_format",
+    "technical_deep_dive",
 )
 
 
@@ -76,31 +86,77 @@ def extract_structured(
     return parsed.where(cond) if cond is not None else parsed
 
 
+def _rephrase_expr(text: F.Column, style: str) -> F.Column:
+    """One distinct native-expression transform per reference template
+    (no Python in the hot path — whole-stage codegen)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    half = F.floor(n / 2).cast("int")
+    if style == "critical_analysis":
+        return F.concat(
+            F.lit("A critical reading reveals: "), text,
+            F.lit(" However, "), F.element_at(toks, 1),
+            F.lit(" warrants scrutiny."),
+        )
+    if style == "cross_domain_analogy":
+        return F.concat(
+            F.lit("Much like "), F.element_at(toks, -1),
+            F.lit(" in another domain, "), text,
+        )
+    if style == "executive_summary":
+        return F.concat(
+            F.lit("In sum: "),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(half, F.lit(3)))
+            ),
+        )
+    if style == "first_person_narrative":
+        return F.concat(
+            F.lit("From my perspective, "),
+            F.lower(F.substring(text, 1, 1)),
+            F.substring(text, F.lit(2), F.length(text)),
+        )
+    if style == "historical_evolution_perspective":
+        return F.concat(
+            F.lit("Initially, "),
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(half, F.lit(1)))),
+            F.lit(". Eventually, "),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.greatest(half, F.lit(1)) + 1,
+                    n - F.greatest(half, F.lit(1)),
+                ),
+            ),
+            F.lit("."),
+        )
+    if style == "popular_science":
+        return F.concat(
+            F.lit("Imagine: "), F.replace(text, F.lit("."), F.lit("!"))
+        )
+    if style == "qa_dialogue_format":
+        return F.concat(
+            F.lit("Q: What does this passage state? A: "), text
+        )
+    if style == "technical_deep_dive":
+        return F.concat(
+            F.lit("[n_tokens="), n.cast("string"), F.lit("] "), text,
+            F.lit(" (end of analysis)"),
+        )
+    raise ValueError(f"unknown style: {style}")
+
+
 def rephrase(
     df: DataFrame,
     text_col: str = "answer",
-    style: str = "formal",
+    style: str = "critical_analysis",
 ) -> DataFrame:
-    """Style-controlled rephrasing (deterministic stand-in: a
-    style-tagged transform with the same row contract as the
-    reference's LLM rephraser)."""
+    """Style-controlled rephrasing (deterministic stand-in for the
+    reference's LLM templates, same row contract: content + style).
+    Native column expressions — the transform stays JVM-side."""
     if style not in REPHRASE_STYLES:
         raise ValueError(f"unknown style: {style}")
-
-    @F.pandas_udf(T.StringType())
-    def rephrase_udf(text: pd.Series) -> pd.Series:
-        def apply(t: str) -> str:
-            t = str(t or "")
-            if style == "concise":
-                words = t.split()
-                return " ".join(words[: max(len(words) // 2, 3)])
-            if style == "question":
-                return f"Is it true that {t.rstrip('.')}?"
-            if style == "detailed":
-                return f"{t} This statement is elaborated in {style} style."
-            return f"[{style}] {t}"
-
-        return text.map(apply)
-
-    return df.withColumn("rephrased", rephrase_udf(F.col(text_col))) \
-             .withColumn("style", F.lit(style))
+    return df.withColumn(
+        "rephrased", _rephrase_expr(F.col(text_col), style)
+    ).withColumn("style", F.lit(style))

@@ -102,3 +102,86 @@ class TestMockLLM:
     def test_deterministic(self):
         text = "Ardonis Capital invested in Bramwell Networks."
         assert mock_llm_response(text) == mock_llm_response(text)
+
+
+class TestGleaningLoop:
+    """Reference glean loop (light_rag_kg_builder.py:43-66): IF_LOOP
+    'yes' -> CONTINUE responses are concatenated before one final
+    parse; records accumulate across rounds."""
+
+    CONTENT = (
+        "Zorvex Dynamics acquired Calyra Labs. "
+        "Calyra Labs sued Bramwell Institute. "
+        "Bramwell Institute merged with Delphora Capital."
+    )
+
+    def test_gleaned_equals_single_shot(self, spark):
+        from graphgen_spark.extraction import MockGleaningLLM
+        from graphgen_spark.operators.kg_extract import extract_records
+
+        chunks = spark.createDataFrame(
+            [("c1", "u1", self.CONTENT)], ["chunk_id", "url", "content"]
+        )
+        single = {
+            tuple(r) for r in extract_records(chunks).collect()
+        }
+        assert len(single) > 4  # several entities + relations
+        gleaned = {
+            tuple(r)
+            for r in extract_records(
+                chunks, responder=MockGleaningLLM(per_round=1, max_loop=20)
+            ).collect()
+        }
+        assert gleaned == single
+
+    def test_two_round_union(self, spark):
+        """A 2-round fixture yields the UNION of both rounds' records."""
+        from graphgen_spark.extraction import GleaningResponder
+        from graphgen_spark.operators.kg_extract import extract_records
+
+        TD, RD, CD = "<|>", "##", "<|COMPLETE|>"
+        r1 = f'("entity"{TD}"Alpha"{TD}"org"{TD}"round one entity"){RD}\n'
+        r2 = (
+            f'("relationship"{TD}"Alpha"{TD}"Beta"{TD}"round two rel")'
+            f"{CD}"
+        )
+
+        class TwoRound(GleaningResponder):
+            max_loop = 3
+
+            def initial(self, content):
+                return r1
+
+            def if_loop(self, content, round_idx, so_far):
+                return '"Yes"' if round_idx == 0 else "no"
+
+            def continue_(self, content, round_idx, so_far):
+                return r2
+
+        chunks = spark.createDataFrame(
+            [("c1", "u1", "ignored")], ["chunk_id", "url", "content"]
+        )
+        rows = extract_records(chunks, responder=TwoRound()).collect()
+        kinds = {(r["kind"], r["f1"]) for r in rows}
+        assert kinds == {("entity", "ALPHA"), ("relationship", "ALPHA")}
+
+    def test_if_loop_no_stops(self, spark):
+        from graphgen_spark.extraction import GleaningResponder
+        from graphgen_spark.operators.kg_extract import extract_records
+
+        TD, CD = "<|>", "<|COMPLETE|>"
+
+        class OneShot(GleaningResponder):
+            calls = []
+
+            def initial(self, content):
+                return f'("entity"{TD}"Solo"{TD}"org"{TD}"only"){CD}'
+
+            def continue_(self, content, round_idx, so_far):
+                raise AssertionError("CONTINUE must not run after 'no'")
+
+        chunks = spark.createDataFrame(
+            [("c1", "u1", "x")], ["chunk_id", "url", "content"]
+        )
+        rows = extract_records(chunks, responder=OneShot()).collect()
+        assert len(rows) == 1 and rows[0]["f1"] == "SOLO"

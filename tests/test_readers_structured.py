@@ -112,18 +112,40 @@ class TestStructuredExtraction:
 
 
 class TestRephrase:
-    def test_styles(self, spark):
-        df = spark.createDataFrame(
-            [("the empire was vast and peaceful.",)], ["answer"]
+    TEXT = "the empire was vast and peaceful. trade routes endured."
+
+    def test_all_styles_distinct(self, spark):
+        from graphgen_spark.operators.structured import REPHRASE_STYLES
+
+        df = spark.createDataFrame([(self.TEXT,)], ["answer"])
+        outs = {}
+        for style in REPHRASE_STYLES:
+            r = rephrase(df, style=style).collect()[0]
+            assert r["style"] == style
+            outs[style] = r["rephrased"]
+        # 8 named reference templates -> 8 DISTINCT transforms
+        assert len(set(outs.values())) == 8
+        assert outs["executive_summary"].startswith("In sum: the empire")
+        assert "However, the warrants scrutiny." in outs["critical_analysis"]
+        assert outs["cross_domain_analogy"].startswith(
+            "Much like endured."
         )
-        q = rephrase(df, style="question").collect()[0]
-        assert q["rephrased"].startswith("Is it true that")
-        c = rephrase(df, style="concise").collect()[0]
-        assert len(c["rephrased"].split()) < 6
-        f = rephrase(df, style="formal").collect()[0]
-        assert f["rephrased"].startswith("[formal]")
+        assert outs["first_person_narrative"].startswith(
+            "From my perspective, t"
+        )
+        assert "Eventually," in outs["historical_evolution_perspective"]
+        assert outs["popular_science"].count("!") == 2
+        assert outs["qa_dialogue_format"].startswith("Q: ")
+        assert outs["technical_deep_dive"].startswith("[n_tokens=9]")
         with pytest.raises(ValueError):
             rephrase(df, style="nope")
+
+    def test_stays_in_codegen(self, spark):
+        # the transform must be a native expression, not a Python UDF
+        df = spark.createDataFrame([(self.TEXT,)], ["answer"])
+        plan = rephrase(df, style="popular_science")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEval
 
 
 class TestStructureMetrics:
