@@ -76,13 +76,22 @@ def main() -> None:
     timings["kg_pipeline"] = round(t_kg, 3)
     timings["kg_dict_prep"] = round(t_dict, 3)
 
+    # Per-query wall = min of 2 runs (second run skipped past 15 s).
+    # Sharing one session across the suite is realistic, but a query
+    # timed right after a heavy multi-stage one absorbs its Python
+    # worker churn / GC debris (round 1: media_features read 35 s for
+    # 128 rows; isolated it runs in <2 s) — the min cancels that.
     for name, fn in entrymod.queries().items():
         if name.startswith("kg_"):
             continue  # covered by kg_pipeline above
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            walls.append(time.time() - t0)
+            if walls[-1] > 15:
+                break
+        timings[name] = round(min(walls), 3)
 
     result = {
         "metric": "kg_pipeline_wall_sec",

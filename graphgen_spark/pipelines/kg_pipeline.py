@@ -119,6 +119,7 @@ def run_kg_pipeline(
     precomputed_labels: DataFrame | None = None,
     fused: bool = False,
     persist_records: bool = False,
+    label_map_max_rows: int = 2_000_000,
 ) -> dict[str, DataFrame]:
     """Run the full spine; returns the named intermediate + final
     DataFrames (all lazy except the CC fixpoint inside alias_labels).
@@ -169,12 +170,24 @@ def run_kg_pipeline(
 
         label_map_bc = None
         if labels is not None:
-            lp = labels.select("alias_norm", "canonical_key").toPandas()
-            label_map = dict(
-                zip(lp["alias_norm"].tolist(), lp["canonical_key"].tolist())
-            )
-            label_map_bc = spark.sparkContext.broadcast(label_map)
-            linked_in_udf = True
+            # Map-side linking collects the label table to the driver
+            # for a Python broadcast — a driver OOM with a multi-GB
+            # alias dictionary.  Size-guard it: past the threshold the
+            # fused UDF extracts WITHOUT linking and canonicalize()
+            # below does the same rewrite as a JVM broadcast join
+            # (identical records; one extra shuffle-free stage).
+            if labels.count() <= label_map_max_rows:
+                lp = labels.select(
+                    "alias_norm", "canonical_key"
+                ).toPandas()
+                label_map = dict(
+                    zip(
+                        lp["alias_norm"].tolist(),
+                        lp["canonical_key"].tolist(),
+                    )
+                )
+                label_map_bc = spark.sparkContext.broadcast(label_map)
+                linked_in_udf = True
         records = pages_to_records(
             pages, chunk_size=chunk_size, chunk_overlap=chunk_overlap,
             label_map_bc=label_map_bc,

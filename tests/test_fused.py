@@ -43,3 +43,22 @@ class TestFusedEquivalence:
         rf = {tuple(r) for r in fused["records"].collect()}
         assert rf == rc
         assert _triples(fused) == _triples(composed)
+
+
+class TestLabelMapSizeGuard:
+    def test_guard_falls_back_to_jvm_join(self, spark):
+        """label_map_max_rows=0 forces the fused path to skip the
+        driver collect and link via the JVM broadcast join — triples
+        must be identical to the map-side-linked fused run."""
+        pages = synth.pages_df(spark, 50, 200)
+        alias = synth.alias_dictionary_df(spark, 200)
+        mapside = run_kg_pipeline(
+            spark, pages, alias_dict=alias,
+            chunk_size=256, chunk_overlap=32, fused=True,
+        )
+        guarded = run_kg_pipeline(
+            spark, pages, alias_dict=alias,
+            chunk_size=256, chunk_overlap=32, fused=True,
+            label_map_max_rows=0,
+        )
+        assert _triples(guarded) == _triples(mapside)
