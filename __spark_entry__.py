@@ -365,6 +365,40 @@ def _mk_kg_qa_mode(mode: str):
     return q
 
 
+def _q_kg_qa_vqa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM chunks -> KG -> VQA generation (rows-only): every 10th doc
+    becomes an image chunk whose caption is the doc text; the MM
+    mini-graphs (central IMAGE entity + caption entities) feed the VQA
+    generator (reference build_mm_kg.py + vqa_generator.py)."""
+    from graphgen_spark.operators.generate import generate_qa
+    from graphgen_spark.operators.partitioners import (
+        bfs_partition,
+        community_to_batches,
+    )
+    from graphgen_spark.pipelines import run_mixed_kg_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("image"))
+        .otherwise(F.lit("text"))
+        .alias("type"),
+        F.col("text").alias("content"),
+    )
+    out = run_mixed_kg_pipeline(spark, docs, chunk_size=512,
+                                chunk_overlap=64)
+    nodes = out["nodes"].localCheckpoint(eager=True)
+    edges = out["edges"].localCheckpoint(eager=True)
+    comms = bfs_partition(nodes, edges, max_units=10).localCheckpoint(
+        eager=True
+    )
+    batches = community_to_batches(comms, nodes, edges)
+    return (
+        generate_qa(batches, mode="vqa")
+        .select("community_id", "question", "answer", "img_path")
+        .orderBy("community_id", "question")
+    )
+
+
 def _q_fill_in_blank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fill_in_blank generation kernel as a pure string transform
     over documents (reference fill_in_blank_generator.py row shape:
@@ -641,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_fill_in_blank": _mk_kg_qa_mode("fill_in_blank"),
         "kg_qa_masked_fib": _mk_kg_qa_mode("masked_fill_in_blank"),
         "kg_qa_quiz": _mk_kg_qa_mode("quiz"),
+        "kg_qa_vqa": _q_kg_qa_vqa,
     }
 
 

@@ -91,6 +91,55 @@ def mock_llm_response(content: str) -> str:
     return f"{RECORD_DELIM}\n".join(records) + COMPLETION_DELIM
 
 
+MM_CHUNK_TYPES = ("image", "table")
+_MM_PREDICATE = {"image": "depicts", "table": "tabulates"}
+
+
+def mock_mm_llm_response(
+    chunk_id: str, chunk_type: str, caption: str
+) -> str:
+    """Deterministic stand-in for the reference's multimodal extraction
+    (``models/kg_builder/mm_kg_builder.py:20-98``): an image/table chunk
+    yields a mini graph — one central multimodal entity (entity_type
+    IMAGE/TABLE) plus the text entities found in its caption, each
+    linked to the central entity — in the same record grammar, so the
+    shared parser and merge operators handle MM records unchanged."""
+    if chunk_type not in MM_CHUNK_TYPES:
+        return ""
+    central = f"{chunk_type.upper()} {chunk_id[:8]}"
+    snippet = " ".join(caption.split())[:100]
+    records: List[str] = [
+        f'("entity"{TUPLE_DELIM}"{central}"{TUPLE_DELIM}'
+        f'"{chunk_type.upper()}"{TUPLE_DELIM}'
+        f'"{chunk_type} chunk captioned: {snippet}")'
+    ]
+    pred = _MM_PREDICATE[chunk_type]
+    seen_entities = set()
+    for src, verb, tgt, sent in find_relation_sentences(caption):
+        for alias in (src, tgt):
+            if alias not in seen_entities:
+                seen_entities.add(alias)
+                etype = mock_entity_type(alias)
+                records.append(
+                    f'("entity"{TUPLE_DELIM}"{alias}"{TUPLE_DELIM}'
+                    f'"{etype}"{TUPLE_DELIM}'
+                    f'"{alias} appears in {chunk_type} caption: {sent}")'
+                )
+                records.append(
+                    f'("relationship"{TUPLE_DELIM}"{central}"'
+                    f'{TUPLE_DELIM}"{alias}"{TUPLE_DELIM}'
+                    f'"{central} {pred} {alias}")'
+                )
+        records.append(
+            f'("relationship"{TUPLE_DELIM}"{src}"{TUPLE_DELIM}'
+            f'"{tgt}"{TUPLE_DELIM}"{src} {verb} {tgt}")'
+        )
+    records.append(
+        f'("content_keywords"{TUPLE_DELIM}"{pred}")'
+    )
+    return f"{RECORD_DELIM}\n".join(records) + COMPLETION_DELIM
+
+
 class GleaningResponder:
     """Multi-round extraction protocol (reference
     ``light_rag_kg_builder.py:43-66``): an initial extraction pass,

@@ -108,6 +108,74 @@ def canonicalize(
     return ents, rels
 
 
+def records_to_graph(
+    records: DataFrame, labels: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Shared tail: records long format -> canonicalized entities /
+    relations -> merged nodes/edges -> triples."""
+    entities = entities_from_records(records)
+    relations = relations_from_records(records)
+    entities_c, relations_c = canonicalize(entities, relations, labels)
+    if labels is None:
+        relations_c = relations_c.where(
+            F.col("src_id") != F.col("tgt_id")
+        )
+    nodes = merge_nodes(entities_c)
+    edges = merge_edges(relations_c, nodes)
+    triples = relations_c.select(
+        F.col("src_id").alias("subj"),
+        F.col("description").alias("pred"),
+        F.col("tgt_id").alias("obj"),
+        F.col("source_id").alias("chunk_id"),
+        "url",
+    )
+    return {
+        "entities": entities_c,
+        "relations": relations_c,
+        "nodes": nodes,
+        "edges": edges,
+        "triples": triples,
+    }
+
+
+def run_mixed_kg_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    alias_dict: DataFrame | None = None,
+    chunk_size: int = 1024,
+    chunk_overlap: int = 100,
+) -> dict[str, DataFrame]:
+    """Mixed text + multimodal docs(url, type, content) -> one KG.
+
+    Text docs go through chunk -> extract; image/table docs go through
+    the MM mini-graph extraction (reference ``build_mm_kg.py:11-52``);
+    both emit the shared records format and merge in the same
+    aggregates — the MM path adds no new shuffle shape.
+    """
+    from graphgen_spark.operators.mm_kg import (
+        extract_mm_records,
+        mm_chunks_from_docs,
+    )
+
+    text_docs = docs.where(F.col("type") == "text").select(
+        "url", F.col("content").alias("text")
+    )
+    chunks = chunk_documents(
+        text_docs, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    )
+    text_records = extract_records(chunks)
+    mm_records = extract_mm_records(mm_chunks_from_docs(docs))
+    records = text_records.unionByName(mm_records)
+    labels = (
+        alias_labels(alias_dict).localCheckpoint(eager=True)
+        if alias_dict is not None
+        else None
+    )
+    out = records_to_graph(records, labels)
+    out.update({"chunks": chunks, "records": records})
+    return out
+
+
 def run_kg_pipeline(
     spark: SparkSession,
     pages: DataFrame,
