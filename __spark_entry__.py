@@ -365,6 +365,35 @@ def _mk_kg_qa_mode(mode: str):
     return q
 
 
+def _q_qa_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward + UniEval stand-in scores as pure expressions over a
+    derived doc-level QA frame (question = qa_dialogue rephrase head,
+    answer = doc text) — the oracle-checkable face of the QA
+    evaluators (reference reward_evaluator.py / uni_evaluator.py)."""
+    from graphgen_spark.operators.evaluate import (
+        with_reward_score,
+        with_uni_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qa = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("What does document "), F.col("doc_id").cast("string"),
+            F.lit(" state?"),
+        ).alias("question"),
+        F.col("text").alias("answer"),
+    )
+    return (
+        with_uni_scores(with_reward_score(qa))
+        .select(
+            "doc_id", "reward_score", "naturalness", "coherence",
+            "understandability",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_kg_qa_vqa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM chunks -> KG -> VQA generation (rows-only): every 10th doc
     becomes an image chunk whose caption is the doc text; the MM
@@ -618,7 +647,7 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate operator over generated QA: token length + MTLD
     lexical diversity per generation mode (rows-only: MTLD is an
     order-dependent scan, reference mtld_evaluator.py)."""
-    from graphgen_spark.datapipe.textstats import mtld_udf
+    from graphgen_spark.operators.evaluate import evaluate_qa
     from graphgen_spark.operators.generate import generate_qa
 
     batches = _kg_batches(spark, sf_dir)
@@ -627,15 +656,18 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = generate_qa(batches, mode=mode)
         qa = part if qa is None else qa.unionByName(part)
     return (
-        qa.withColumn("mtld", mtld_udf("answer"))
-        .withColumn(
-            "answer_tokens", F.size(F.split(F.trim("answer"), r"\s+"))
-        )
+        evaluate_qa(qa)
         .groupBy("mode")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.avg("answer_tokens"), 4).alias("avg_answer_tokens"),
             F.round(F.avg("mtld"), 4).alias("avg_mtld"),
+            F.round(F.avg("reward_score"), 4).alias("avg_reward"),
+            F.round(F.avg("naturalness"), 4).alias("avg_naturalness"),
+            F.round(F.avg("coherence"), 4).alias("avg_coherence"),
+            F.round(F.avg("understandability"), 4).alias(
+                "avg_understandability"
+            ),
         )
         .orderBy("mode")
     )
@@ -676,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_masked_fib": _mk_kg_qa_mode("masked_fill_in_blank"),
         "kg_qa_quiz": _mk_kg_qa_mode("quiz"),
         "kg_qa_vqa": _q_kg_qa_vqa,
+        "qa_eval_docs": _q_qa_eval_docs,
     }
 
 
@@ -978,6 +1011,45 @@ def oracle_sql() -> dict[str, str]:
                    mask_tok AS answer
             FROM t WHERE mask_tok IS NOT NULL AND mask_tok != ''
             ORDER BY doc_id
+        """,
+        "qa_eval_docs": r"""
+            WITH qa AS (
+                SELECT doc_id,
+                       'What does document ' || doc_id || ' state?'
+                           AS question,
+                       text AS answer
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(answer), '\s+') AS a,
+                       regexp_split_to_array(trim(question), '\s+') AS q,
+                       len(regexp_split_to_array(trim(answer), '\s+'))
+                           AS n_ans,
+                       length(trim(answer))::DOUBLE
+                           / len(regexp_split_to_array(trim(answer), '\s+'))
+                           AS avg_wlen
+                FROM qa
+            ),
+            o AS (
+                SELECT doc_id, n_ans, avg_wlen,
+                       len(list_intersect(list_distinct(q),
+                                          list_distinct(a)))::DOUBLE
+                           / len(list_distinct(list_concat(
+                                 list_distinct(q), list_distinct(a))))
+                           AS overlap
+                FROM t
+            )
+            SELECT doc_id,
+                   round(ln(1.0 + n_ans)
+                         - 0.5 * abs(n_ans - 40.0) / 40.0
+                         + overlap, 6) AS reward_score,
+                   round(1.0 / (1.0 + exp(abs(avg_wlen - 5.0) - 3.0)), 6)
+                       AS naturalness,
+                   round(overlap, 6) AS coherence,
+                   round(1.0 - least(avg_wlen / 15.0, 1.0), 6)
+                       AS understandability
+            FROM o ORDER BY doc_id
         """,
         # kg_qa_{cot,multi_choice,multi_answer,fill_in_blank,
         # masked_fib,quiz}: community payloads come from the non-SQL

@@ -160,16 +160,92 @@ def evaluate_triples(
     )
 
 
+def with_reward_score(
+    qa: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """Deterministic stand-in for the reference RewardEvaluator
+    (``models/evaluator/qa/reward_evaluator.py:46-72``: one float
+    ``reward_score`` per pair from a cross-encoder logit).  The
+    stand-in derives the score from the same signals a reward model
+    responds to — answer length sweet spot and question/answer lexical
+    overlap — as a native expression (no model, no Python):
+
+        reward = ln(1 + n_ans) - 0.5*|n_ans - 40|/40 + overlap
+    """
+    a_toks = F.array_distinct(
+        F.split(F.trim(F.col(answer_col)), r"\s+")
+    )
+    q_toks = F.array_distinct(
+        F.split(F.trim(F.col(question_col)), r"\s+")
+    )
+    n_ans = F.size(F.split(F.trim(F.col(answer_col)), r"\s+"))
+    overlap = F.size(F.array_intersect(q_toks, a_toks)) / F.size(
+        F.array_union(q_toks, a_toks)
+    )
+    score = (
+        F.log(F.lit(1.0) + n_ans)
+        - F.lit(0.5) * F.abs(n_ans - F.lit(40.0)) / F.lit(40.0)
+        + overlap
+    )
+    return qa.withColumn("reward_score", F.round(score, 6))
+
+
+def with_uni_scores(
+    qa: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """Deterministic stand-in for the reference UniEvaluator
+    (``models/evaluator/qa/uni_evaluator.py:9-117``: yes/no-probability
+    scores per dimension, in [0,1]):
+
+    - naturalness:        peaked where avg word length is prose-like
+    - coherence:          question/answer lexical overlap (the UniEval
+                          coherence prompt conditions on the history)
+    - understandability:  penalizes long/opaque tokens
+
+    All native expressions, all bounded to [0,1] like the reference's
+    probabilities."""
+    toks = F.split(F.trim(F.col(answer_col)), r"\s+")
+    avg_wlen = F.length(F.trim(F.col(answer_col))) / F.size(toks)
+    q_toks = F.array_distinct(
+        F.split(F.trim(F.col(question_col)), r"\s+")
+    )
+    a_toks = F.array_distinct(toks)
+    coherence = F.size(F.array_intersect(q_toks, a_toks)) / F.size(
+        F.array_union(q_toks, a_toks)
+    )
+    naturalness = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(F.abs(avg_wlen - F.lit(5.0)) - F.lit(3.0))
+    )
+    understandability = F.lit(1.0) - F.least(
+        avg_wlen / F.lit(15.0), F.lit(1.0)
+    )
+    return (
+        qa.withColumn("naturalness", F.round(naturalness, 6))
+        .withColumn("coherence", F.round(coherence, 6))
+        .withColumn("understandability", F.round(understandability, 6))
+    )
+
+
 def evaluate_qa(
     qa: DataFrame,
     answer_col: str = "answer",
+    question_col: str = "question",
 ) -> DataFrame:
     """QA metric columns: token length + MTLD (order-dependent scan,
-    hence a pandas UDF per row) — the qa-target half of the reference
-    evaluate service; feed into the range-filter operator."""
+    hence a pandas UDF per row) + the reward / UniEval stand-in scores
+    — the qa-target half of the reference evaluate service; feed into
+    the range-filter operator."""
     from graphgen_spark.datapipe.textstats import mtld_udf
 
-    return qa.withColumn(
+    out = qa.withColumn(
         "answer_tokens",
         F.size(F.split(F.trim(F.col(answer_col)), r"\s+")),
     ).withColumn("mtld", mtld_udf(answer_col))
+    if question_col in qa.columns:
+        out = with_reward_score(out, question_col, answer_col)
+        out = with_uni_scores(out, question_col, answer_col)
+    return out

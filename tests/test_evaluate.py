@@ -110,3 +110,46 @@ class TestEvaluateQA:
         assert rows["q1"]["answer_tokens"] == 2
         assert rows["q2"]["answer_tokens"] == 10
         assert rows["q2"]["mtld"] >= 0.0
+
+
+class TestRewardUniEvaluators:
+    """Deterministic stand-ins for reward_evaluator.py /
+    uni_evaluator.py: same metric columns, bounded ranges, native
+    expressions (no Python in the plan)."""
+
+    def test_metric_columns_and_ranges(self, spark):
+        from graphgen_spark.operators.evaluate import evaluate_qa
+
+        qa = spark.createDataFrame(
+            [
+                ("what is the empire known for",
+                 "the empire is known for roads and trade routes"),
+                ("short", "x"),
+                ("q", "a " * 200),
+            ],
+            ["question", "answer"],
+        )
+        rows = evaluate_qa(qa).collect()
+        for r in rows:
+            assert r["reward_score"] is not None
+            assert 0.0 <= r["naturalness"] <= 1.0
+            assert 0.0 <= r["coherence"] <= 1.0
+            assert 0.0 <= r["understandability"] <= 1.0
+        # overlapping q/a scores higher coherence than disjoint
+        by_q = {r["question"]: r for r in rows}
+        assert (by_q["what is the empire known for"]["coherence"]
+                > by_q["short"]["coherence"])
+        # sweet-spot-length answer out-rewards a one-token answer
+        assert (by_q["what is the empire known for"]["reward_score"]
+                > by_q["short"]["reward_score"])
+
+    def test_native_plan(self, spark):
+        from graphgen_spark.operators.evaluate import (
+            with_reward_score,
+            with_uni_scores,
+        )
+
+        qa = spark.createDataFrame([("q", "a")], ["question", "answer"])
+        plan = with_uni_scores(with_reward_score(qa))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Python" not in plan
