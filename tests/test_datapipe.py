@@ -246,3 +246,47 @@ class TestMinHashNumericGroups:
         assert out[9]["group_id"] == 9 and out[9]["keep"]
         assert out[10]["group_id"] == 9 and not out[10]["keep"]
         assert out[11]["group_id"] == 11 and out[11]["keep"]
+
+
+class TestSimHashVectorizedParity:
+    def test_matches_per_token_reference(self, spark, dup_docs):
+        """The vectorized bit-matrix kernel must emit bit-identical
+        signatures to the straightforward per-token/per-bit loop."""
+        import hashlib
+
+        from graphgen_spark.datapipe.dedup import simhash_signatures
+
+        def slow_sig(text):
+            votes = [0] * 64
+            for tok in str(text or "").split():
+                hv = int.from_bytes(
+                    hashlib.blake2b(
+                        tok.encode(), digest_size=8
+                    ).digest(), "big",
+                )
+                for i in range(64):
+                    votes[i] += 1 if (hv >> i) & 1 else -1
+            sig = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+        expected = {
+            r["doc_id"]: slow_sig(r["text"]) for r in dup_docs.collect()
+        }
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(dup_docs).collect()
+        }
+        assert got == expected
+
+    def test_empty_doc_zero_signature(self, spark):
+        from graphgen_spark.datapipe.dedup import simhash_signatures
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "one token")], ["doc_id", "text"]
+        )
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(docs).collect()}
+        assert sigs[1] == 0 and sigs[2] == 0 and sigs[3] != 0
