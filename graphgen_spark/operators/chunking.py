@@ -35,16 +35,28 @@ def chunk_documents(
     chunk_size: int = 1024,
     chunk_overlap: int = 100,
     length_by_tokens: bool = True,
+    splitter: str = "recursive",
 ) -> DataFrame:
     """docs(url, text, ...) -> chunks(chunk_id, url, doc_id, content,
     language, n_tokens, chunk_index).
 
     chunk_id is md5(content) — content-addressed like the reference's
     trace ids, so identical chunks dedupe naturally downstream.
+
+    ``splitter``: 'recursive' (language-routed, the reference default),
+    'character' (single-separator CharacterSplitter), or 'markdown'
+    (MarkdownTextRefSplitter heading ladder) — the reference's
+    config-selectable splitter surface.
     """
+    if splitter not in ("recursive", "character", "markdown"):
+        raise ValueError(f"unknown splitter: {splitter}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from graphgen_spark.splitter import split_text
+        from graphgen_spark.splitter import (
+            character_split,
+            markdown_split,
+            split_text,
+        )
         from graphgen_spark.textkit import (
             count_tokens,
             detect_main_language,
@@ -52,6 +64,23 @@ def chunk_documents(
         )
 
         length_fn = count_tokens if length_by_tokens else len
+
+        def split_fn(text, language):
+            if splitter == "character":
+                return character_split(
+                    text, chunk_size=chunk_size,
+                    chunk_overlap=chunk_overlap, length_fn=length_fn,
+                )
+            if splitter == "markdown":
+                return markdown_split(
+                    text, chunk_size=chunk_size,
+                    chunk_overlap=chunk_overlap, length_fn=length_fn,
+                )
+            return split_text(
+                text, language=language, chunk_size=chunk_size,
+                chunk_overlap=chunk_overlap, length_fn=length_fn,
+            )
+
         for pdf in batches:
             rows = []
             for url, text in zip(pdf[url_col], pdf[text_col]):
@@ -60,15 +89,7 @@ def chunk_documents(
                 text = str(text)
                 language = detect_main_language(text)
                 doc_id = "doc-" + md5_hex(text)
-                for idx, piece in enumerate(
-                    split_text(
-                        text,
-                        language=language,
-                        chunk_size=chunk_size,
-                        chunk_overlap=chunk_overlap,
-                        length_fn=length_fn,
-                    )
-                ):
+                for idx, piece in enumerate(split_fn(text, language)):
                     rows.append(
                         (
                             "chunk-" + md5_hex(piece),

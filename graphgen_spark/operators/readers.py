@@ -27,6 +27,7 @@ JSON_SUFFIXES = {".json", ".jsonl"}
 CSV_SUFFIXES = {".csv"}
 PARQUET_SUFFIXES = {".parquet"}
 RDF_SUFFIXES = {".nt"}
+PICKLE_SUFFIXES = {".pkl", ".pickle"}
 
 ALLOWED_DOC_TYPES = (
     "text", "image", "table", "equation", "protein", "dna", "rna"
@@ -89,6 +90,68 @@ def read_text_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
         F.decode(F.col("content"), "UTF-8").alias("content"),
         F.col("path").alias("source_path"),
     )
+
+
+def read_pickle_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """pickle -> docs (reference PickleReader,
+    ``models/reader/pickle_reader.py:12-80``: each file holds a
+    ``list[dict]`` with at least ``type`` (+ ``content`` for text);
+    non-list / non-dict payloads are dropped with the same leniency).
+
+    Spark mapping: ``binaryFile`` scan + an Arrow-batched unpickle.
+    The reference flattens arbitrary keys; here the schema is stable —
+    ``type``/``content``/``source_path`` columns plus the remaining
+    keys re-serialized into a ``meta`` JSON string."""
+    import json
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("meta", T.StringType(), True),
+            T.StructField("source_path", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    data = pickle.loads(bytes(blob))
+                except Exception:
+                    continue
+                if not isinstance(data, list):
+                    continue
+                for item in data:
+                    if not isinstance(item, dict):
+                        continue
+                    extra = {
+                        k: v for k, v in item.items()
+                        if k not in ("type", "content")
+                    }
+                    rows.append(
+                        (
+                            item.get("type"),
+                            item.get("content"),
+                            json.dumps(extra, sort_keys=True)
+                            if extra else None,
+                            path,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["type", "content", "meta", "source_path"],
+            )
+
+    df = spark.read.format("binaryFile").load(paths)
+    return df.select("path", "content").mapInPandas(gen, schema=out_schema)
 
 
 def validate_docs(df: DataFrame) -> DataFrame:
@@ -239,6 +302,8 @@ def read_documents(
             df = read_text_docs(spark, paths)
         elif suffix in RDF_SUFFIXES:
             df = read_rdf_docs(spark, paths).drop("properties")
+        elif suffix in PICKLE_SUFFIXES:
+            df = read_pickle_docs(spark, paths)
         else:
             raise ValueError(f"unsupported suffix: {suffix}")
         if "type" not in df.columns:

@@ -140,6 +140,67 @@ def _split_recursive(
     return final
 
 
+# MarkdownTextRefSplitter's separator ladder (reference
+# ``models/splitter/markdown_splitter.py:9-33``): headings first, then
+# code fences, horizontal rules, blank lines, words, characters.
+MD_SEPARATORS = [
+    r"\n#{1,6} ",
+    "```\n",
+    r"\n\*\*\*+\n",
+    r"\n---+\n",
+    r"\n___+\n",
+    "\n\n",
+    "\n",
+    " ",
+    "",
+]
+
+
+def character_split(
+    text: str,
+    separator: str = "\n\n",
+    is_separator_regex: bool = False,
+    chunk_size: int = 1024,
+    chunk_overlap: int = 100,
+    length_fn: Callable[[str], int] = len,
+    keep_separator: bool = False,
+) -> List[str]:
+    """Single-separator splitter (reference ``CharacterSplitter``,
+    ``models/splitter/character_splitter.py:7-26``): one naive split,
+    then the shared greedy merge; with keep_separator=False the
+    separator is dropped from pieces and re-inserted as the merge
+    joiner (reference ``_merge_splits(splits, self._separator)``)."""
+    pat = separator if is_separator_regex else re.escape(separator)
+    if keep_separator:
+        pieces = _regex_split_keep_leading(text, pat)
+        joiner = ""
+    else:
+        pieces = (
+            [s for s in re.split(pat, text) if s != ""]
+            if pat else list(text)
+        )
+        joiner = separator
+    return _merge_pieces(
+        pieces, chunk_size, chunk_overlap, length_fn, joiner
+    )
+
+
+def markdown_split(
+    text: str,
+    chunk_size: int = 1024,
+    chunk_overlap: int = 100,
+    length_fn: Callable[[str], int] = len,
+) -> List[str]:
+    """Markdown-aware recursive splitter (reference
+    ``MarkdownTextRefSplitter``): the recursive ladder with regex
+    separators chunking along headings before falling back to
+    paragraphs/words/characters."""
+    return _split_recursive(
+        text, MD_SEPARATORS, chunk_size, chunk_overlap, length_fn,
+        is_regex=True, from_end=False,
+    )
+
+
 def split_text(
     text: str,
     language: str = "en",
