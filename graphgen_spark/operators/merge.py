@@ -34,7 +34,16 @@ MAX_SUMMARY_TOKENS = 200
 # lexicographically-smallest distinct values is a deterministic,
 # semantics-bounded cap that turns an unbounded skewed reduce into a
 # bounded one.  Full mention counts are preserved separately.
-MAX_MERGED_VALUES = 64
+#
+# K is DERIVED from the gate: joining k non-empty descriptions yields
+# >= k + 3*(k-1) tokens under the token regex (each description >= 1
+# token, each '<SEP>' junction adds 3), so the K = MAX_SUMMARY_TOKENS
+# smallest distinct values always cover the gate's truncation prefix
+# — the capped merge is therefore bit-identical to joining ALL sorted
+# distinct descriptions and then truncating (the reference order of
+# operations).  Parity-tested at the cap boundary in
+# test_kg_pipeline_spark.py.
+MAX_MERGED_VALUES = MAX_SUMMARY_TOKENS
 N_SALTS = 16
 
 

@@ -205,3 +205,49 @@ class TestConnectedComponents:
         )
         rows = connected_components(df).collect()
         assert all(r["component_name"] == "a" for r in rows)
+
+
+class TestMergeCapParity:
+    """The capped merge must equal the reference order of operations —
+    join ALL sorted distinct descriptions, then truncate at the
+    summary gate — at and past the cap boundary."""
+
+    def _expected(self, descs):
+        from graphgen_spark.operators.merge import (
+            MAX_SUMMARY_TOKENS,
+            SEP,
+        )
+        from graphgen_spark.textkit import count_tokens, truncate_tokens
+
+        joined = SEP.join(sorted(set(descs)))
+        if count_tokens(joined) < MAX_SUMMARY_TOKENS:
+            return joined
+        return truncate_tokens(joined, MAX_SUMMARY_TOKENS)
+
+    def _run(self, spark, descs):
+        from graphgen_spark.operators.merge import merge_nodes
+
+        rows = [("HOT ENTITY", "ORG", d, f"chunk-{i}")
+                for i, d in enumerate(descs)]
+        ents = spark.createDataFrame(
+            rows, ["entity_name", "entity_type", "description",
+                   "source_id"],
+        ).repartition(8)  # exercise the salted two-phase path
+        out = merge_nodes(ents).collect()
+        assert len(out) == 1
+        return out[0]["description"]
+
+    def test_past_cap_many_multiword_descriptions(self, spark):
+        descs = [f"fact number {i:04d} about the entity" for i in
+                 range(300)]  # > MAX_MERGED_VALUES distinct values
+        assert self._run(spark, descs) == self._expected(descs)
+
+    def test_pathological_single_char_descriptions(self, spark):
+        # single-token descriptions: <SEP> junctions still add tokens,
+        # so the K smallest cover the truncation prefix
+        descs = [chr(33 + (i % 90)) + str(i) for i in range(300)]
+        assert self._run(spark, descs) == self._expected(descs)
+
+    def test_under_cap_unchanged(self, spark):
+        descs = [f"short fact {i}" for i in range(5)]
+        assert self._run(spark, descs) == self._expected(descs)
