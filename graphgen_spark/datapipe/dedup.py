@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from graphgen_spark.operators.components import connected_components
 
@@ -71,7 +72,12 @@ def ngram_jaccard_pairs(
     word n-grams.  Shingle self-join: candidate generation touches only
     docs that SHARE a shingle (linear in shingle postings, not |D|²);
     AQE skew-join splits hot shingles."""
-    sh = shingles(docs, text_col, id_col, n)
+    # the postings table feeds three plan branches (sizes + both join
+    # sides) — materialize it once instead of re-running the explode
+    # per branch (at scale this is the landed shingle-postings table)
+    sh = shingles(docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -161,7 +167,11 @@ def minhash_lsh_dedup(
     both are hash joins on bounded keys.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, seed)
+    # both sides of the bucket self-join scan the signatures — persist
+    # so the Python MinHash hop runs once, not twice
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n, num_perm, seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -199,8 +209,11 @@ def minhash_lsh_dedup(
         .distinct()
     )
 
-    # verify candidates with exact n-gram Jaccard
-    sh = shingles(docs, text_col, id_col, n)
+    # verify candidates with exact n-gram Jaccard (postings table
+    # persisted: it feeds sizes + both verification join sides)
+    sh = shingles(docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col("doc_id").alias("a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -330,7 +343,9 @@ def simhash_dup_pairs(
     """(a, b, hamming): banded SimHash blocking (pigeonhole: any pair
     within Hamming distance < bands shares at least one exact band),
     then exact Hamming verification via bit_count(xor)."""
-    sigs = simhash_signatures(docs, text_col, id_col)
+    sigs = simhash_signatures(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # scanned by both sides of the band self-join
     width = 64 // bands
     band_structs = [
         F.struct(
@@ -398,7 +413,9 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(F.array(*table_structs)).alias("tb"),
     ).select("id", "v", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket"))
+             F.col("tb.bucket").alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # scanned by both sides of the bucket self-join
     left = bucketed.select(
         F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket"
     )

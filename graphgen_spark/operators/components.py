@@ -81,7 +81,8 @@ def _signature(e: DataFrame) -> tuple:
 
 
 def connected_components_long(
-    edges: DataFrame, max_iter: int = 25, partitions: int | None = None
+    edges: DataFrame, max_iter: int = 25, partitions: int | None = None,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """edges(src int64, dst int64) -> labels(id int64, component int64)
     where component is the minimum member id.  Covers every vertex that
@@ -90,7 +91,15 @@ def connected_components_long(
     ``partitions`` sizes the fixpoint's shuffles: pass ~|E|/2M for big
     graphs; when None a cheap count picks it (small inputs collapse to
     a handful of partitions so the iteration isn't job-overhead-bound).
+
+    The input plan is referenced by three branches (vertex set,
+    canonical edges, partition count) — it is checkpointed ONCE up
+    front so an expensive upstream (e.g. LSH candidate verification)
+    never re-executes per branch.  Pass ``assume_materialized=True``
+    when the caller already checkpointed/persisted it.
     """
+    if not assume_materialized:
+        edges = edges.localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -134,7 +143,13 @@ def connected_components(
     """String-keyed wrapper: edges(src_col, dst_col string) ->
     (name string, component int64, component_name string) where
     component_name is the lexicographically-minimal member name (a
-    deterministic canonical representative)."""
+    deterministic canonical representative).
+
+    The input is checkpointed once: the name table, the hashed edge
+    list, and the fixpoint all branch from it, and the upstream plan
+    (candidate generation + verification in the dedup callers) must
+    not re-execute per branch."""
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     ids = (
         edges.select(F.col(src_col).alias("name"))
         .union(edges.select(F.col(dst_col).alias("name")))
@@ -147,7 +162,8 @@ def connected_components(
         )
     )
     labels = connected_components_long(
-        e_long, max_iter=max_iter, partitions=partitions
+        e_long, max_iter=max_iter, partitions=partitions,
+        assume_materialized=True,
     )
     named = ids.join(labels, "id").select("name", "component")
     reps = named.groupBy("component").agg(
