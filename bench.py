@@ -76,11 +76,14 @@ def main() -> None:
     timings["kg_pipeline"] = round(t_kg, 3)
     timings["kg_dict_prep"] = round(t_dict, 3)
 
-    # Per-query wall = min of 2 runs (second run skipped past 15 s).
+    # Per-query wall = min of 2 runs (second run skipped past 60 s).
     # Sharing one session across the suite is realistic, but a query
     # timed right after a heavy multi-stage one absorbs its Python
     # worker churn / GC debris (round 1: media_features read 35 s for
     # 128 rows; isolated it runs in <2 s) — the min cancels that.
+    # Queries over the KG reuse the session-cached graph on the second
+    # run, so they report their own marginal cost; the one-time graph
+    # build is the headline (kg_pipeline + kg_dict_prep).
     for name, fn in entrymod.queries().items():
         if name.startswith("kg_"):
             continue  # covered by kg_pipeline above
@@ -89,7 +92,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).count()
             walls.append(time.time() - t0)
-            if walls[-1] > 15:
+            if walls[-1] > 60:
                 break
         timings[name] = round(min(walls), 3)
 

@@ -154,7 +154,9 @@ def sample_frames(
 
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benches (payload bytes
-    derived from the id; modality round-robins image/audio/video)."""
+    derived from the id; modality round-robins image/audio/video).
+    Partition count scales with n (a 128-row table across 32 default
+    partitions would spin up ~2 Python workers per row downstream)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -180,4 +182,7 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
                 rows, columns=["media_id", "modality", "payload", "meta"]
             )
 
-    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    n_parts = max(2, min(32, n // 16))
+    return spark.range(0, n, 1, n_parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
