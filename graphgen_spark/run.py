@@ -1,0 +1,343 @@
+"""Config-driven pipeline runner — the Spark counterpart of the
+reference's canonical entry point (``graphgen/run.py:31-72`` +
+``graphgen/engine.py``): a yaml file declares a DAG of operator nodes
+(``id / op_name / type / dependencies / params``) and the runner
+executes it.
+
+The SAME yaml schema the reference ships
+(``examples/generate/generate_aggregated_qa/aggregated_config.yaml``)
+runs here unchanged: ``execution_params`` (replicas / batch_size) are
+accepted and ignored — Spark's scheduler owns parallelism — and the
+op registry mirrors ``graphgen/operators/__init__.py:14-27``
+(read, chunk, build_kg, quiz, judge, extract, partition, generate,
+evaluate, rephrase, filter; ``search`` needs network and raises).
+
+Node outputs flow as DataFrames (or small dicts of DataFrames for
+graph-shaped stages) instead of Ray datasets; ``save_output: true``
+lands a node's table under ``<working_dir>/output/<run_id>/<id>``.
+
+Usage::
+
+    python -m graphgen_spark.run --config_file config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- ops
+
+
+def _op_read(spark, deps, params):
+    from graphgen_spark.operators.readers import read_documents
+
+    paths = params["input_path"]
+    if isinstance(paths, str):
+        paths = [paths]
+    return read_documents(
+        spark, paths, read_nums=params.get("read_nums")
+    )
+
+
+def _op_chunk(spark, deps, params):
+    from graphgen_spark.operators.chunking import chunk_documents
+
+    (docs,) = deps
+    docs = docs.withColumn(
+        "_url", F.coalesce(
+            *(
+                [F.col("source_path")]
+                if "source_path" in docs.columns else []
+            ),
+            F.col("_trace_id") if "_trace_id" in docs.columns
+            else F.lit("doc"),
+        )
+    )
+    return chunk_documents(
+        docs,
+        text_col="content",
+        url_col="_url",
+        chunk_size=params.get("chunk_size", 1024),
+        chunk_overlap=params.get("chunk_overlap", 100),
+        splitter=params.get("splitter", "recursive"),
+    )
+
+
+def _op_build_kg(spark, deps, params):
+    from graphgen_spark.operators.kg_extract import extract_records
+    from graphgen_spark.pipelines import records_to_graph
+
+    (chunks,) = deps
+    records = extract_records(chunks)
+    out = records_to_graph(records)
+    out["records"] = records
+    out["nodes"] = out["nodes"].localCheckpoint(eager=True)
+    out["edges"] = out["edges"].localCheckpoint(eager=True)
+    return out
+
+
+def _op_quiz(spark, deps, params):
+    from graphgen_spark.operators.probe import quiz
+
+    (kg,) = deps
+    q = quiz(
+        kg["nodes"], kg["edges"],
+        quiz_samples=params.get("quiz_samples", 2),
+    )
+    return {"quiz": q, **kg}
+
+
+def _op_judge(spark, deps, params):
+    from graphgen_spark.operators.probe import attach_losses, judge
+
+    (staged,) = deps
+    losses = judge(staged["quiz"])
+    nodes_l, edges_l = attach_losses(
+        staged["nodes"], staged["edges"], losses
+    )
+    return {
+        **staged,
+        "nodes": nodes_l.localCheckpoint(eager=True),
+        "edges": edges_l.localCheckpoint(eager=True),
+        "losses": losses,
+    }
+
+
+_PARTITION_PARAM_MAP = {
+    "max_units_per_community": "max_units",
+    "min_units_per_community": "min_units",
+    "max_tokens_per_community": "max_tokens",
+    "unit_sampling": "unit_sampling",
+    "anchor_type": "anchor_type",
+    "max_size": "max_size",
+    "resolution": "resolution",
+}
+
+
+def _op_partition(spark, deps, params):
+    from graphgen_spark.operators import partitioners as P
+
+    (kg,) = deps
+    method = params.get("method", "bfs")
+    mp = {
+        _PARTITION_PARAM_MAP[k]: v
+        for k, v in params.get("method_params", {}).items()
+        if k in _PARTITION_PARAM_MAP
+    }
+    nodes, edges = kg["nodes"], kg["edges"]
+    if method == "ece":
+        comms = P.ece_partition(nodes, edges, **mp)
+    elif method == "bfs":
+        comms = P.bfs_partition(nodes, edges, **mp)
+    elif method == "dfs":
+        comms = P.dfs_partition(nodes, edges, **mp)
+    elif method == "leiden":
+        comms = P.leiden_partition(nodes, edges, **mp)
+    elif method == "anchor_bfs":
+        comms = P.anchor_bfs_partition(nodes, edges, **mp)
+    elif method == "triple":
+        comms = P.triple_partition(edges)
+    elif method == "quintuple":
+        comms = P.quintuple_partition(nodes, edges)
+    else:
+        raise ValueError(f"unknown partition method: {method}")
+    batches = P.community_to_batches(
+        comms.localCheckpoint(eager=True), nodes, edges
+    )
+    return {**kg, "communities": comms, "batches": batches}
+
+
+def _op_generate(spark, deps, params):
+    from graphgen_spark.operators.generate import format_qa, generate_qa
+
+    (staged,) = deps
+    method = params.get("method", "aggregated")
+    qa = generate_qa(
+        staged["batches"], mode=method,
+        num_of_questions=params.get("num_of_questions", 5),
+    )
+    return format_qa(
+        qa, params.get("data_format", "ChatML"), vqa=(method == "vqa")
+    )
+
+
+def _op_extract(spark, deps, params):
+    from pyspark.sql.types import StructType
+
+    from graphgen_spark.operators.structured import extract_structured
+
+    (docs,) = deps
+    schema = StructType.fromJson(params["schema"])
+    return extract_structured(
+        docs, schema,
+        required=params.get("required", []),
+        text_col=params.get("text_col", "content"),
+    )
+
+
+def _op_rephrase(spark, deps, params):
+    from graphgen_spark.operators.structured import rephrase
+
+    (df,) = deps
+    return rephrase(
+        df,
+        text_col=params.get("text_col", "content"),
+        style=params.get("style", "critical_analysis"),
+    )
+
+
+def _op_evaluate(spark, deps, params):
+    from graphgen_spark.operators.evaluate import evaluate_qa
+
+    (df,) = deps
+    target = params.get("target", "qa")
+    if target == "qa":
+        qa = df
+        if isinstance(df, dict):
+            qa = df.get("qa") or df.get("batches")
+        return evaluate_qa(qa)
+    if target == "kg":
+        from graphgen_spark.operators.stats import structure_metrics
+
+        metrics = structure_metrics(df["nodes"], df["edges"])
+        return spark.createDataFrame(
+            [tuple(metrics.values())], list(metrics.keys())
+        )
+    raise ValueError(f"unknown evaluate target: {target}")
+
+
+def _op_filter(spark, deps, params):
+    (df,) = deps
+    col = F.col(params["metric"])
+    cond = F.lit(True)
+    if params.get("min") is not None:
+        cond = cond & (
+            col >= params["min"] if params.get("min_inclusive", True)
+            else col > params["min"]
+        )
+    if params.get("max") is not None:
+        cond = cond & (
+            col < params["max"] if not params.get("max_inclusive", False)
+            else col <= params["max"]
+        )
+    return df.where(cond)
+
+
+def _op_search(spark, deps, params):
+    raise NotImplementedError(
+        "search needs network access (reference SearchService hits "
+        "uniprot/bing/wikipedia) — out of scope in this environment"
+    )
+
+
+OPERATORS = {
+    "read": _op_read,
+    "chunk": _op_chunk,
+    "build_kg": _op_build_kg,
+    "quiz": _op_quiz,
+    "judge": _op_judge,
+    "partition": _op_partition,
+    "generate": _op_generate,
+    "extract": _op_extract,
+    "rephrase": _op_rephrase,
+    "evaluate": _op_evaluate,
+    "filter": _op_filter,
+    "search": _op_search,
+}
+
+
+# ------------------------------------------------------------ engine
+
+
+def _toposort(nodes: list[dict]) -> list[dict]:
+    by_id = {n["id"]: n for n in nodes}
+    seen: dict[str, int] = {}
+    order: list[dict] = []
+
+    def visit(nid: str):
+        state = seen.get(nid, 0)
+        if state == 1:
+            raise ValueError(f"dependency cycle through node: {nid}")
+        if state == 2:
+            return
+        seen[nid] = 1
+        for dep in by_id[nid].get("dependencies") or []:
+            if dep not in by_id:
+                raise ValueError(
+                    f"node {nid} depends on unknown node: {dep}"
+                )
+            visit(dep)
+        seen[nid] = 2
+        order.append(by_id[nid])
+
+    for n in nodes:
+        visit(n["id"])
+    return order
+
+
+def run_config(
+    spark: SparkSession, config: dict, output_dir: str | None = None
+) -> dict:
+    """Execute a reference-schema pipeline config; returns
+    {node_id: output} (DataFrames, or dicts of DataFrames for the
+    graph-shaped stages)."""
+    outputs: dict = {}
+    for node in _toposort(config.get("nodes", [])):
+        op_name = node["op_name"]
+        if op_name not in OPERATORS:
+            raise ValueError(f"unknown op_name: {op_name}")
+        deps = [outputs[d] for d in (node.get("dependencies") or [])]
+        result = OPERATORS[op_name](spark, deps, node.get("params") or {})
+        outputs[node["id"]] = result
+        if node.get("save_output") and output_dir is not None:
+            dest = os.path.join(output_dir, node["id"])
+            if isinstance(result, DataFrame):
+                result.write.mode("overwrite").parquet(dest)
+            else:
+                for key, df in result.items():
+                    if isinstance(df, DataFrame):
+                        df.write.mode("overwrite").parquet(
+                            os.path.join(dest, key)
+                        )
+    return outputs
+
+
+def main(argv: list[str] | None = None) -> None:
+    import yaml
+
+    from graphgen_spark.session import get_spark
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--output_dir", default=None)
+    args = parser.parse_args(argv)
+
+    with open(args.config_file, encoding="utf-8") as f:
+        config = yaml.safe_load(f)
+
+    working_dir = config.get("global_params", {}).get(
+        "working_dir", "cache"
+    )
+    out = args.output_dir or os.path.join(
+        working_dir, "output", str(int(time.time()))
+    )
+    os.makedirs(out, exist_ok=True)
+
+    spark = get_spark(app_name="graphgen_spark.run")
+    outputs = run_config(spark, config, output_dir=out)
+    saved = [
+        n["id"] for n in config.get("nodes", []) if n.get("save_output")
+    ]
+    print(json.dumps({"output_dir": out, "nodes": list(outputs),
+                      "saved": saved}))
+
+
+if __name__ == "__main__":
+    main()
