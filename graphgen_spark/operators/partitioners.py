@@ -355,11 +355,96 @@ def triple_partition(edges: DataFrame) -> DataFrame:
     )
 
 
+def _louvain(n_nodes: int, edge_idx: list, resolution: float,
+             max_levels: int = 10) -> list:
+    """Deterministic pure-Python Louvain (modularity optimization —
+    the algorithm family Leiden refines; Blondel et al. 2008): local
+    moves in sorted node order with smallest-community tie-breaks,
+    then graph aggregation, until no level improves.  Returns a
+    community index per node.  Used when leidenalg/igraph is not
+    installed — same output contract, fully seeded-free deterministic.
+    """
+    labels = list(range(n_nodes))  # node -> community over all levels
+    cur_edges = [(a, b, 1.0) for a, b in edge_idx if a != b]
+    cur_n = n_nodes
+    node_map = list(range(n_nodes))  # original node -> current super-node
+
+    for _ in range(max_levels):
+        # adjacency (weights) of the current graph; self-loops carry
+        # the internal mass of aggregated communities (2w of degree)
+        adj: list = [dict() for _ in range(cur_n)]
+        selfw = [0.0] * cur_n
+        two_m = 0.0
+        for a, b, w in cur_edges:
+            if a == b:
+                selfw[a] += w
+            else:
+                adj[a][b] = adj[a].get(b, 0.0) + w
+                adj[b][a] = adj[b].get(a, 0.0) + w
+            two_m += 2 * w
+        if two_m == 0:
+            break
+        deg = [
+            sum(nb.values()) + 2 * selfw[i]
+            for i, nb in enumerate(adj)
+        ]
+        comm = list(range(cur_n))
+        tot = deg[:]  # sum of degrees per community
+        improved_level = False
+        moved = True
+        while moved:
+            moved = False
+            for v in range(cur_n):
+                cv = comm[v]
+                # weights from v to neighboring communities
+                to_comm: dict = {}
+                for u, w in adj[v].items():
+                    to_comm[comm[u]] = to_comm.get(comm[u], 0.0) + w
+                tot[cv] -= deg[v]
+                best_c, best_gain = cv, to_comm.get(cv, 0.0) - (
+                    resolution * tot[cv] * deg[v] / two_m
+                )
+                for c in sorted(to_comm):
+                    gain = to_comm[c] - (
+                        resolution * tot[c] * deg[v] / two_m
+                    )
+                    if gain > best_gain + 1e-12:
+                        best_c, best_gain = c, gain
+                tot[best_c] += deg[v]
+                if best_c != cv:
+                    comm[v] = best_c
+                    moved = True
+                    improved_level = True
+        if not improved_level:
+            break
+        # renumber communities densely (sorted for determinism)
+        remap = {c: i for i, c in enumerate(sorted(set(comm)))}
+        comm = [remap[c] for c in comm]
+        # push down to original nodes
+        node_map = [comm[m] for m in node_map]
+        labels = node_map[:]
+        # aggregate graph; intra-community weight becomes a self-loop
+        # (otherwise super-nodes lose their internal mass and every
+        # bridged pair would merge at the next level)
+        agg: dict = {}
+        for a, b, w in cur_edges:
+            ca, cb = comm[a], comm[b]
+            key = (min(ca, cb), max(ca, cb))
+            agg[key] = agg.get(key, 0.0) + w
+        cur_edges = [(a, b, w) for (a, b), w in sorted(agg.items())]
+        cur_n = len(remap)
+        if all(a == b for a, b, _ in cur_edges):
+            break
+    return labels
+
+
 def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
                      seed=42) -> DataFrame:
     """Community detection per connected component: leidenalg+igraph
-    when importable (reference parity), else deterministic BFS
-    size-split of each component (same output contract)."""
+    when importable (reference parity,
+    ``models/partitioner/leiden_partitioner.py:16-117``), else the
+    deterministic pure-Python Louvain above (same modularity
+    objective, same output contract)."""
     try:
         import igraph  # noqa: F401
         import leidenalg  # noqa: F401
@@ -367,36 +452,37 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     except ImportError:
         have_leiden = False
 
-    if not have_leiden:
-        return bfs_partition(
-            nodes, edges, max_units=max_size, min_units=1,
-            max_tokens=2**62,
-        )
-
     units = units_with_components(nodes, edges)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        import igraph as ig
-        import leidenalg as la
-
         names = sorted(pdf[pdf["kind"] == "n"]["a"])
         idx = {n: i for i, n in enumerate(names)}
         epdf = pdf[pdf["kind"] == "e"]
-        g = ig.Graph(
-            n=len(names),
-            edges=[
-                (idx[a], idx[b])
-                for a, b in zip(epdf["a"], epdf["b"])
-                if a in idx and b in idx
-            ],
-        )
-        part = la.find_partition(
-            g, la.RBConfigurationVertexPartition,
-            resolution_parameter=resolution, seed=seed,
-        )
+        edge_idx = [
+            (idx[a], idx[b])
+            for a, b in zip(epdf["a"], epdf["b"])
+            if a in idx and b in idx
+        ]
+        if have_leiden:
+            import igraph as ig
+            import leidenalg as la
+
+            g = ig.Graph(n=len(names), edges=edge_idx)
+            part = la.find_partition(
+                g, la.RBConfigurationVertexPartition,
+                resolution_parameter=resolution, seed=seed,
+            )
+            membership = part.membership
+            tag = "leiden"
+        else:
+            membership = _louvain(len(names), edge_idx, resolution)
+            tag = "louvain"
+        by_comm: dict = {}
+        for i, c in enumerate(membership):
+            by_comm.setdefault(c, []).append(names[i])
         rows = []
-        for ci, members in enumerate(part):
-            mnames = sorted(names[m] for m in members)
+        for ci in sorted(by_comm):
+            mnames = sorted(by_comm[ci])
             for s in range(0, len(mnames), max_size):
                 chunk = mnames[s : s + max_size]
                 cset = set(chunk)
@@ -407,7 +493,7 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
                 ]
                 rows.append(
                     (
-                        f"leiden-{ci}-{s // max_size}-{chunk[0]}",
+                        f"{tag}-{ci}-{s // max_size}-{chunk[0]}",
                         chunk, cedges, len(chunk) + len(cedges), 0,
                     )
                 )

@@ -184,3 +184,63 @@ class TestGenerate:
         assert sharegpt[0]["conversations"][1]["from"] == "gpt"
         qap = format_qa(qa, "QA_pairs").columns
         assert qap == ["question", "answer"]
+
+
+class TestLouvainCommunityDetection:
+    """The no-dependency community-detection branch of
+    leiden_partition: deterministic Louvain must recover planted
+    community structure (two cliques bridged by one edge)."""
+
+    def _barbell(self, spark):
+        left = [f"L{i}" for i in range(5)]
+        right = [f"R{i}" for i in range(5)]
+        edge_rows = []
+        for grp in (left, right):
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    edge_rows.append((grp[i], grp[j]))
+        edge_rows.append(("L0", "R0"))  # the bridge
+        nodes = spark.createDataFrame(
+            [(n, "ORG", f"{n} desc", 3) for n in left + right],
+            ["entity_name", "entity_type", "description", "length"],
+        )
+        edges = spark.createDataFrame(
+            [(a, b, f"{a} rel {b}", 3) for a, b in edge_rows],
+            ["src_id", "tgt_id", "description", "length"],
+        )
+        return nodes, edges
+
+    def test_planted_cliques_recovered(self, spark):
+        from graphgen_spark.operators.partitioners import leiden_partition
+
+        nodes, edges = self._barbell(spark)
+        comms = leiden_partition(nodes, edges, max_size=20).collect()
+        groups = sorted(sorted(c["nodes"]) for c in comms)
+        assert groups == [
+            [f"L{i}" for i in range(5)],
+            [f"R{i}" for i in range(5)],
+        ]
+        # intra-community edges attached; the bridge edge in neither
+        n_edges = sum(len(c["edges"]) for c in comms)
+        assert n_edges == 20  # 2 x C(5,2)
+
+    def test_deterministic(self, spark):
+        from graphgen_spark.operators.partitioners import leiden_partition
+
+        nodes, edges = self._barbell(spark)
+        a = sorted(
+            (c["community_id"], tuple(c["nodes"]))
+            for c in leiden_partition(nodes, edges).collect()
+        )
+        b = sorted(
+            (c["community_id"], tuple(c["nodes"]))
+            for c in leiden_partition(nodes, edges).collect()
+        )
+        assert a == b
+
+    def test_louvain_kernel_singletons_and_empty(self):
+        from graphgen_spark.operators.partitioners import _louvain
+
+        assert _louvain(3, [], 1.0) == [0, 1, 2]
+        # one triangle collapses to a single community
+        assert len(set(_louvain(3, [(0, 1), (1, 2), (0, 2)], 1.0))) == 1
