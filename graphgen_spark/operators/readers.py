@@ -18,6 +18,7 @@ is unnecessary.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,7 @@ JSON_SUFFIXES = {".json", ".jsonl"}
 CSV_SUFFIXES = {".csv"}
 PARQUET_SUFFIXES = {".parquet"}
 RDF_SUFFIXES = {".nt"}
+TURTLE_SUFFIXES = {".ttl"}
 PICKLE_SUFFIXES = {".pkl", ".pickle"}
 
 ALLOWED_DOC_TYPES = (
@@ -232,6 +234,12 @@ def read_rdf_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
         (F.col("obj_res") == "").alias("is_literal"),
         "source_path",
     )
+    return _rdf_docs_from_triples(triples)
+
+
+def _rdf_docs_from_triples(triples: DataFrame) -> DataFrame:
+    """triples(subj, pred, obj, is_literal, source_path) -> one doc per
+    subject (shared tail of the N-Triples and Turtle readers)."""
     # two-level agg: pred-level object lists first (reference props
     # are pred -> list), then subject-level map + joined literals;
     # everything sorted for cross-parallelism determinism
@@ -259,6 +267,164 @@ def read_rdf_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
             "source_path",
         )
     )
+
+
+_TTL_TOKEN = re.compile(
+    r"""
+      <[^>]*>                                   # IRI
+    | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]+
+                          |@[A-Za-z0-9-]+)?     # literal (+dtype|lang)
+    | [A-Za-z_][\w.-]*:[\w.-]*                  # prefixed name
+    | \ba\b                                     # rdf:type keyword
+    | [;,.\[\]()]                               # punctuation
+    """,
+    re.VERBOSE,
+)
+
+
+def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
+    """Minimal Turtle subset parser -> (subj, pred, obj, is_literal).
+
+    Covers the common profile: ``@prefix`` / ``PREFIX`` declarations,
+    IRIs, prefixed names, ``a``, literals with datatype/lang tags,
+    ``;`` predicate lists and ``,`` object lists, ``#`` comments.
+    (Blank-node property lists / collections / multi-line literals are
+    out of this subset — the reference delegates those to rdflib, an
+    external-library boundary documented like the other n/a readers.)
+    """
+    # strip comments line by line — a '#' inside a quoted literal OR
+    # inside an <IRI> (e.g. the XMLSchema# namespace) is NOT a comment
+    lines = []
+    for line in text.splitlines():
+        out, in_q, in_iri = [], False, False
+        i = 0
+        while i < len(line):
+            ch = line[i]
+            if ch == '"' and not in_iri and (
+                i == 0 or line[i - 1] != "\\"
+            ):
+                in_q = not in_q
+            elif ch == "<" and not in_q:
+                in_iri = True
+            elif ch == ">" and not in_q:
+                in_iri = False
+            if ch == "#" and not in_q and not in_iri:
+                break
+            out.append(ch)
+            i += 1
+        lines.append("".join(out))
+    body = "\n".join(lines)
+
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(
+        r"(?:@prefix|PREFIX)\s+([\w.-]*):\s*<([^>]*)>\s*\.?",
+        body, re.IGNORECASE,
+    ):
+        prefixes[m.group(1)] = m.group(2)
+    body = re.sub(
+        r"(?:@prefix|PREFIX)\s+[\w.-]*:\s*<[^>]*>\s*\.?", "", body,
+        flags=re.IGNORECASE,
+    )
+    body = re.sub(r"(?:@base|BASE)\s+<[^>]*>\s*\.?", "", body,
+                  flags=re.IGNORECASE)
+
+    def resolve(tok: str) -> tuple[str, bool]:
+        """-> (value, is_literal)"""
+        if tok.startswith("<"):
+            return tok[1:-1], False
+        if tok.startswith('"'):
+            end = tok.rindex('"')
+            lit = tok[1:end]
+            lit = (
+                lit.replace('\\"', '"').replace("\\n", "\n")
+                .replace("\\t", "\t").replace("\\r", "\r")
+                .replace("\\\\", "\\")
+            )
+            return lit, True
+        if tok == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", False
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local, False
+        return tok, False
+
+    triples: list[tuple[str, str, str, bool]] = []
+    # statements terminated by '.'
+    tokens = _TTL_TOKEN.findall(body)
+    stmt: list[str] = []
+    for tok in tokens:
+        if tok == ".":
+            if len(stmt) >= 3:
+                subj = stmt[0]
+                pred = None
+                i = 1
+                while i < len(stmt):
+                    t = stmt[i]
+                    if t == ";":
+                        pred = None
+                        i += 1
+                        continue
+                    if t == ",":
+                        i += 1
+                        continue
+                    if pred is None:
+                        pred = t
+                    else:
+                        s, _ = resolve(subj)
+                        p, _ = resolve(pred)
+                        o, is_lit = resolve(t)
+                        triples.append((s, p, o, is_lit))
+                    i += 1
+            stmt = []
+        else:
+            stmt.append(tok)
+    return triples
+
+
+def read_turtle_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Turtle (.ttl) -> one doc per subject, same contract as
+    ``read_rdf_docs`` (content = joined literal objects, ``properties``
+    = pred -> sorted objects map).  Turtle is not line-splittable, so
+    the distributed unit is the FILE (binaryFile scan + per-file
+    subset parser) — matching the reference's rdflib whole-file
+    semantics (``models/reader/rdf_reader.py:30-70``)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    triple_schema = T.StructType(
+        [
+            T.StructField("subj", T.StringType(), False),
+            T.StructField("pred", T.StringType(), False),
+            T.StructField("obj", T.StringType(), True),
+            T.StructField("is_literal", T.BooleanType(), False),
+            T.StructField("source_path", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    text = bytes(blob).decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+                for s, p, o, lit in _parse_turtle(text):
+                    rows.append((s, p, o, lit, path))
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "pred", "obj", "is_literal",
+                         "source_path"],
+            )
+
+    raw = spark.read.format("binaryFile").load(paths)
+    triples = raw.select("path", "content").mapInPandas(
+        gen, schema=triple_schema
+    )
+    return _rdf_docs_from_triples(triples)
 
 
 def with_trace_id(df: DataFrame, op: str = "read") -> DataFrame:
@@ -302,6 +468,8 @@ def read_documents(
             df = read_text_docs(spark, paths)
         elif suffix in RDF_SUFFIXES:
             df = read_rdf_docs(spark, paths).drop("properties")
+        elif suffix in TURTLE_SUFFIXES:
+            df = read_turtle_docs(spark, paths).drop("properties")
         elif suffix in PICKLE_SUFFIXES:
             df = read_pickle_docs(spark, paths)
         else:

@@ -118,3 +118,52 @@ class TestMarkdownSplitter:
         assert len(ch_chunks) >= 2
         with pytest.raises(ValueError, match="unknown splitter"):
             chunk_documents(docs, splitter="nope")
+
+
+class TestTurtleReader:
+    TTL = """\
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+# a comment line
+ex:alice ex:name "Alice Smith" ;
+         ex:age "34"^^xsd:integer ;
+         ex:knows ex:bob , ex:carol .
+ex:bob a ex:Person ;
+       ex:name "Bob \\"B\\" Jones"@en .
+<http://example.org/carol> <http://example.org/name> "Carol" .
+"""
+
+    @pytest.fixture(scope="class")
+    def ttl_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("ttl") / "g.ttl"
+        p.write_text(self.TTL)
+        return str(p)
+
+    def test_docs_per_subject(self, spark, ttl_file):
+        from graphgen_spark.operators.readers import read_turtle_docs
+
+        docs = {r["id"]: r for r in
+                read_turtle_docs(spark, [ttl_file]).collect()}
+        assert set(docs) == {
+            "http://example.org/alice", "http://example.org/bob",
+            "http://example.org/carol",
+        }
+        alice = docs["http://example.org/alice"]
+        props = alice["properties"]
+        # prefix expansion, ; and , lists, typed literal
+        assert props["http://example.org/name"] == ["Alice Smith"]
+        assert props["http://example.org/age"] == ["34"]
+        assert sorted(props["http://example.org/knows"]) == [
+            "http://example.org/bob", "http://example.org/carol",
+        ]
+        # 'a' keyword -> rdf:type; lang tag stripped; escapes decoded
+        bob = docs["http://example.org/bob"]
+        assert bob["properties"][
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        ] == ["http://example.org/Person"]
+        assert bob["content"] == 'Bob "B" Jones'
+
+    def test_suffix_dispatch(self, spark, ttl_file):
+        docs = read_documents(spark, [ttl_file])
+        assert docs.count() == 3
+        assert "_trace_id" in docs.columns
