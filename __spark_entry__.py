@@ -336,6 +336,26 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("community_id")
 
 
+def _q_kg_communities_louvain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection over the built graph (rows-only): the
+    leiden_partition slot running the deterministic pure-Python
+    Louvain branch (leidenalg absent in this environment)."""
+    from graphgen_spark.operators.partitioners import leiden_partition
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    return (
+        leiden_partition(nodes, edges, max_size=20)
+        .select(
+            "community_id",
+            F.size("nodes").alias("n_nodes"),
+            F.size("edges").alias("n_edges"),
+        )
+        .orderBy("community_id")
+    )
+
+
 def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community -> QA generation (aggregated mode, QA_pairs format)."""
     from graphgen_spark.operators.generate import format_qa, generate_qa
@@ -697,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
+        "kg_communities_louvain": _q_kg_communities_louvain,
         "kg_qa_pairs": _q_kg_qa_pairs,
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
