@@ -48,9 +48,13 @@ def run_kg(spark, sf_dir: str) -> tuple[float, int, float]:
     steady = the per-batch path scan -> fused extract/link -> triples.
     """
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
     from graphgen_spark.pipelines import alias_labels, run_kg_pipeline
 
     pages = entrymod._pages_for(spark, sf_dir)
+    # warm the JVM + Python workers on a tiny job so dict_prep times
+    # the CC label build, not first-job session startup (~10-20 s)
+    spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
     t0 = time.time()
     labels = alias_labels(entrymod._alias_dict(spark)).localCheckpoint(
         eager=True

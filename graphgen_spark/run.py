@@ -196,9 +196,9 @@ def _op_rephrase(spark, deps, params):
 def _op_evaluate(spark, deps, params):
     from graphgen_spark.operators.evaluate import evaluate_qa
 
-    (df,) = deps
     target = params.get("target", "qa")
     if target == "qa":
+        (df,) = deps
         qa = df
         if isinstance(df, dict):
             qa = df.get("qa") or df.get("batches")
@@ -206,10 +206,19 @@ def _op_evaluate(spark, deps, params):
     if target == "kg":
         from graphgen_spark.operators.stats import structure_metrics
 
+        (df,) = deps
         metrics = structure_metrics(df["nodes"], df["edges"])
         return spark.createDataFrame(
             [tuple(metrics.values())], list(metrics.keys())
         )
+    if target == "triple":
+        # two deps: the chunk node and the build_kg node (reference
+        # evaluate_triple joins chunk lineage back to extracted units)
+        from graphgen_spark.operators.evaluate import evaluate_triples
+
+        chunks = next(d for d in deps if not isinstance(d, dict))
+        kg = next(d for d in deps if isinstance(d, dict))
+        return evaluate_triples(chunks, kg["records"])
     raise ValueError(f"unknown evaluate target: {target}")
 
 

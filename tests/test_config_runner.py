@@ -100,3 +100,18 @@ class TestConfigRunner:
     def test_search_raises_cleanly(self, spark):
         with pytest.raises(NotImplementedError, match="network"):
             OPERATORS["search"](spark, [], {})
+
+    def test_evaluate_triple_target(self, spark, config):
+        cfg = {
+            "nodes": config["nodes"][:3] + [
+                {"id": "eval_triple", "op_name": "evaluate",
+                 "dependencies": ["chunk_documents", "build_kg"],
+                 "params": {"target": "triple"}},
+            ]
+        }
+        outputs = run_config(spark, cfg)
+        rows = outputs["eval_triple"].collect()
+        assert rows
+        assert all(
+            0 <= r["entity_accuracy"]["overall_score"] <= 1 for r in rows
+        )
