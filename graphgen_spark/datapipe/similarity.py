@@ -120,18 +120,51 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame, n_cells: int = 16,
+    vec_col: str = "embedding", seed: int = 7, max_iter: int = 10,
+) -> np.ndarray:
+    """Real k-means centroids for IVF, JVM-side via Spark MLlib
+    (distributed Lloyd's; only the k×dim centroid matrix reaches the
+    driver — the scale-correct shape for a 100 TB corpus)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="fv"
+    ).fit(feats)
+    cents = np.array(model.clusterCenters(), dtype=float)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     n_cells: int = 16, nprobe: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
     dim: int = 64, seed: int = 7,
+    centroids: str | np.ndarray = "kmeans",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic random centroids (a real system
-    would k-means; cell assignment and probing shape are identical),
-    corpus partitioned by nearest cell, queries probe nprobe cells."""
-    rng = np.random.RandomState(seed)
-    cents = rng.randn(n_cells, dim)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    """IVF ANN: corpus partitioned by nearest cell, queries probe
+    ``nprobe`` cells.  ``centroids``: 'kmeans' (MLlib, default),
+    'random' (deterministic unit normals — the cheap stand-in), or a
+    precomputed (n_cells, dim) array (the production path: centroids
+    are a periodically-refreshed asset, not recomputed per query)."""
+    if isinstance(centroids, np.ndarray):
+        cents = centroids
+    elif centroids == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, vec_col, seed)
+    elif centroids == "random":
+        rng = np.random.RandomState(seed)
+        cents = rng.randn(n_cells, dim)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids}")
+    n_cells = len(cents)
 
     def cell_scores(vec: Column) -> Column:
         arr = []

@@ -290,3 +290,70 @@ class TestSimHashVectorizedParity:
         sigs = {r["doc_id"]: r["simhash"]
                 for r in simhash_signatures(docs).collect()}
         assert sigs[1] == 0 and sigs[2] == 0 and sigs[3] != 0
+
+
+class TestIVFKMeans:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        base = rng.randn(8, 64)
+        rows = []
+        for i, v in enumerate(base):
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], i % 2))
+            w = v + rng.randn(64) * 0.01
+            w = w / np.linalg.norm(w)
+            rows.append((i + 100, [float(x) for x in w], i % 2))
+        return spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]
+        )
+
+    def test_kmeans_centroids_shape_and_unit_norm(self, spark, emb):
+        import numpy as np
+
+        from graphgen_spark.datapipe.similarity import kmeans_centroids
+
+        cents = kmeans_centroids(emb, n_cells=4)
+        assert cents.shape == (4, 64)
+        assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    def test_ivf_kmeans_beats_or_ties_random_on_top1(self, spark, emb):
+        from graphgen_spark.datapipe.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        queries = emb.where("vec_id < 5")
+        truth = {
+            r["query_id"]: r["neighbor_id"]
+            for r in brute_force_topk(emb, queries, k=1).collect()
+        }
+
+        def recall(mode):
+            got = {
+                r["query_id"]: r["neighbor_id"]
+                for r in ivf_topk(
+                    emb, queries, k=1, n_cells=4, nprobe=2,
+                    centroids=mode,
+                ).collect()
+            }
+            return sum(got.get(q) == n for q, n in truth.items())
+
+        assert recall("kmeans") >= recall("random")
+        assert recall("kmeans") >= 3  # data-driven cells: high recall
+
+    def test_precomputed_centroids_path(self, spark, emb):
+        import numpy as np
+
+        from graphgen_spark.datapipe.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(emb, n_cells=4)
+        out = ivf_topk(
+            emb, emb.where("vec_id < 3"), k=1, centroids=cents
+        ).collect()
+        assert len(out) == 3
