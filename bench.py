@@ -52,9 +52,14 @@ def run_kg(spark, sf_dir: str) -> tuple[float, int, float]:
     from graphgen_spark.pipelines import alias_labels, run_kg_pipeline
 
     pages = entrymod._pages_for(spark, sf_dir)
-    # warm the JVM + Python workers on a tiny job so dict_prep times
+    # warm the JVM + Python workers on tiny jobs so dict_prep times
     # the CC label build, not first-job session startup (~10-20 s)
     spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
+    import pandas as pd  # noqa: F401 — imported on workers below
+
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     t0 = time.time()
     labels = alias_labels(entrymod._alias_dict(spark)).localCheckpoint(
         eager=True

@@ -80,9 +80,47 @@ def _signature(e: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+# Below this edge count the whole graph fits comfortably on the
+# driver (200k edges ≈ 3 MB of int64 pairs) and a local union-find
+# replaces ~O(log n) fixpoint rounds x 2 shuffles each — the dominant
+# cost for small graphs is pure job-scheduling latency.  The
+# distributed fixpoint below remains the scale path; set
+# driver_max_edges=0 to force it.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(pairs: list) -> list:
+    """Local union-find with minimum-id representative — identical
+    labels to the distributed fixpoint (component = min member id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the representative deterministic
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = set()
+    for a, b in pairs:
+        ids.add(a)
+        ids.add(b)
+    return [(i, find(i)) for i in ids]
+
+
 def connected_components_long(
     edges: DataFrame, max_iter: int = 25, partitions: int | None = None,
     assume_materialized: bool = False,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src int64, dst int64) -> labels(id int64, component int64)
     where component is the minimum member id.  Covers every vertex that
@@ -106,8 +144,26 @@ def connected_components_long(
         .distinct()
     )
     e = _canonical_edges(edges)
+    n_edges = e.count()
+    if n_edges <= driver_max_edges:
+        # small graph: local union-find (same min-id labels), one job
+        labels = _driver_union_find(
+            [(r["src"], r["dst"]) for r in e.collect()]
+        )
+        spark = edges.sparkSession
+        lab_df = (
+            spark.createDataFrame(labels, "id long, component long")
+            if labels
+            else spark.createDataFrame([], "id long, component long")
+        )
+        return (
+            vertices.join(lab_df, "id", "left")
+            .select(
+                "id",
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+        )
     if partitions is None:
-        n_edges = e.count()
         partitions = max(2, min(256, n_edges // 500_000 + 2))
     e = e.repartition(partitions, "src").localCheckpoint(eager=True)
     prev_sig = None
@@ -139,6 +195,7 @@ def connected_components(
     dst_col: str = "tgt_id",
     max_iter: int = 25,
     partitions: int | None = None,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """String-keyed wrapper: edges(src_col, dst_col string) ->
     (name string, component int64, component_name string) where
@@ -163,7 +220,7 @@ def connected_components(
     )
     labels = connected_components_long(
         e_long, max_iter=max_iter, partitions=partitions,
-        assume_materialized=True,
+        assume_materialized=True, driver_max_edges=driver_max_edges,
     )
     named = ids.join(labels, "id").select("name", "component")
     reps = named.groupBy("component").agg(

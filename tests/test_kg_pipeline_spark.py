@@ -251,3 +251,33 @@ class TestMergeCapParity:
     def test_under_cap_unchanged(self, spark):
         descs = [f"short fact {i}" for i in range(5)]
         assert self._run(spark, descs) == self._expected(descs)
+
+
+class TestCCHybridPaths:
+    """The size-gated driver union-find must produce IDENTICAL labels
+    to the distributed large-star/small-star fixpoint."""
+
+    def test_paths_agree_on_random_graph(self, spark):
+        import random
+
+        from graphgen_spark.operators.components import (
+            connected_components,
+        )
+
+        rng = random.Random(7)
+        edges = [
+            (f"n{rng.randrange(300)}", f"n{rng.randrange(300)}")
+            for _ in range(400)
+        ] + [("iso_a", "iso_b")]
+        df = spark.createDataFrame(edges, ["src_id", "tgt_id"])
+        local = {
+            (r["name"], r["component_name"])
+            for r in connected_components(df).collect()
+        }
+        distributed = {
+            (r["name"], r["component_name"])
+            for r in connected_components(
+                df, driver_max_edges=0
+            ).collect()
+        }
+        assert local == distributed and len(local) > 0
