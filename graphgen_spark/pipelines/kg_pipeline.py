@@ -274,14 +274,16 @@ def run_kg_pipeline(
     # The label table is a static asset of the candidate dictionary
     # (built once per release) — batch callers pass precomputed_labels.
     if linked_in_udf:
-        entities_c, relations_c = (
-            entities,
-            relations.where(F.col("src_id") != F.col("tgt_id")),
-        )
+        entities_c, relations_c = entities, relations
     else:
         entities_c, relations_c = canonicalize(
             entities, relations, labels
         )
+    # self-loops are never valid triples (a mention like "X acquired
+    # X", or aliases collapsing both endpoints to one canonical key);
+    # canonicalize filters the post-rewrite ones, this catches the
+    # no-dictionary path too
+    relations_c = relations_c.where(F.col("src_id") != F.col("tgt_id"))
 
     nodes = merge_nodes(entities_c)
     edges = merge_edges(relations_c, nodes)
