@@ -98,9 +98,11 @@ def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # round: Spark's partial-agg summation order makes the raw
-            # double differ from DuckDB's in the last bits
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            # avg as exact integer micros (floor), never a float: float
+            # cells hashed differently across engines two rounds running
+            F.expr(
+                "(1000000 * sum(n_tokens)) div count(*)"
+            ).alias("avg_tokens_micro"),
         )
         .orderBy("lang")
     )
@@ -190,11 +192,63 @@ def _q_kg_triple_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def _kg_triples_wholedoc(
+    spark: SparkSession, sf_dir: str, linked: bool
+) -> DataFrame:
+    """KG spine with whole-doc chunks (no boundary/overlap effects), so
+    the triple set is a pure function of pages.text — the configuration
+    the DuckDB regex oracle re-derives independently.  ``linked=True``
+    runs the alias-dict broadcast linking + CC canonicalization too."""
+    from graphgen_spark.pipelines import run_kg_pipeline
+
+    pages = _pages_for(spark, sf_dir)
+    result = run_kg_pipeline(
+        spark, pages,
+        alias_dict=_alias_dict(spark) if linked else None,
+        chunk_size=1_000_000_000, chunk_overlap=0,
+    )
+    return result["triples"]
+
+
+def _q_kg_triples_nodict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-dictionary whole-doc path: extraction grammar -> parser ->
+    upper/clean -> sorted pair -> self-loop drop.  Oracle-checked: the
+    DuckDB side re-derives the same multiset via regexp_extract_all
+    over the (plain-pyarrow-materialized) pages table."""
+    return (
+        _kg_triples_wholedoc(spark, sf_dir, linked=False)
+        .groupBy("url", "subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("url", "subj", "pred", "obj")
+    )
+
+
+def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full canonical path: extraction + alias-dict linking + CC
+    canonicalization.  Oracle-checked: DuckDB joins the regex-derived
+    mentions against an INDEPENDENTLY computed label table (driver-side
+    union-find, not the Spark large/small-star CC)."""
+    return (
+        _kg_triples_wholedoc(spark, sf_dir, linked=True)
+        .groupBy("url", "subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("url", "subj", "pred", "obj")
+    )
+
+
 def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-url coverage statistics over the triples table."""
+    """Per-url coverage statistics over the canonical triples table
+    (whole-doc linked path -> oracle-checkable; n_chunks is omitted
+    because whole-doc chunking makes it identically 1)."""
     from graphgen_spark.operators.stats import coverage_by_url
 
-    return coverage_by_url(_q_kg_triples(spark, sf_dir)).orderBy("url")
+    triples = _kg_triples_wholedoc(spark, sf_dir, linked=True)
+    return (
+        coverage_by_url(triples)
+        .select("url", "n_triples", "n_subjects", "n_objects",
+                "n_predicates")
+        .orderBy("url")
+    )
 
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,13 +628,18 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 5 vectors."""
     from graphgen_spark.datapipe.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        # double math on both engines, then an exact integer contract:
+        # float32 products hashed differently across engines
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries_df = emb.where(F.col("vec_id") < 5)
     return (
         brute_force_topk(emb, queries_df, k=3)
         .select(
             "query_id", "neighbor_id", "rank",
-            F.round("cosine", 4).alias("cosine"),
+            F.round(F.col("cosine") * 10000).cast("long")
+            .alias("cosine_x10k"),
         )
         .orderBy("query_id", "rank")
     )
@@ -714,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
+        "kg_triples_nodict": _q_kg_triples_nodict,
+        "kg_triples_linked": _q_kg_triples_linked,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
@@ -733,8 +794,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# KG-spine oracle: the driver checks correctness at sf0.01.  The pages
+# and alias-label tables are deterministic pure-Python functions of
+# (doc_ids, n_entities), materialized WITHOUT Spark (pyarrow writer +
+# driver-side union-find) so DuckDB can re-derive the triples from
+# first principles: regexp_extract_all over pages.text + a label join.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle"
+)
+
+
+def _kg_oracle_paths() -> tuple[str, str]:
+    from graphgen_spark.synth import (
+        materialize_alias_labels_parquet,
+        materialize_pages_parquet,
+    )
+
+    pages = materialize_pages_parquet(
+        _ORACLE_SF_DIR,
+        os.path.join(_ORACLE_DIR, f"pages_sf001_e{N_SYNTH_ENTITIES}.parquet"),
+        N_SYNTH_ENTITIES,
+    )
+    labels = materialize_alias_labels_parquet(
+        os.path.join(_ORACLE_DIR, f"labels_e{N_SYNTH_ENTITIES}.parquet"),
+        N_SYNTH_ENTITIES,
+    )
+    return pages, labels
+
+
+def _kg_oracle_ctes(linked: bool) -> str:
+    """Shared WITH-clause: pages -> regex mentions -> (linked) triples."""
+    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
+
+    pages_path, labels_path = _kg_oracle_paths()
+    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
+    assert "'" not in en and "'" not in zh  # safe as SQL literals
+    men = f"""
+        pages AS (
+            SELECT url, text FROM read_parquet('{pages_path}')
+        ),
+        men AS (
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{en}', 1)) AS s,
+                   unnest(regexp_extract_all(text, '{en}', 2)) AS v,
+                   unnest(regexp_extract_all(text, '{en}', 3)) AS t
+            FROM pages
+            UNION ALL
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{zh}', 1)),
+                   unnest(regexp_extract_all(text, '{zh}', 2)),
+                   unnest(regexp_extract_all(text, '{zh}', 3))
+            FROM pages
+        )"""
+    if not linked:
+        return f"""WITH {men},
+        triples AS (
+            SELECT url,
+                   least(upper(s), upper(t)) AS subj,
+                   s || ' ' || v || ' ' || t AS pred,
+                   greatest(upper(s), upper(t)) AS obj
+            FROM men WHERE upper(s) <> upper(t)
+        )"""
+    return f"""WITH {men},
+        lab AS (
+            SELECT alias_norm, canonical_key
+            FROM read_parquet('{labels_path}')
+        ),
+        linked AS (
+            SELECT men.url,
+                   coalesce(ls.canonical_key, upper(men.s)) AS cs,
+                   coalesce(lt.canonical_key, upper(men.t)) AS ct,
+                   men.s || ' ' || men.v || ' ' || men.t AS pred
+            FROM men
+            LEFT JOIN lab ls ON upper(men.s) = ls.alias_norm
+            LEFT JOIN lab lt ON upper(men.t) = lt.alias_norm
+        ),
+        triples AS (
+            SELECT url, least(cs, ct) AS subj, pred,
+                   greatest(cs, ct) AS obj
+            FROM linked WHERE cs <> ct
+        )"""
+
+
+def _kg_triples_oracle(linked: bool) -> str:
+    return f"""{_kg_oracle_ctes(linked)}
+        SELECT url, subj, pred, obj, count(*) AS n_mentions
+        FROM triples
+        GROUP BY url, subj, pred, obj
+        ORDER BY url, subj, pred, obj
+    """
+
+
+def _kg_coverage_oracle() -> str:
+    return f"""{_kg_oracle_ctes(linked=True)}
+        SELECT url,
+               count(*) AS n_triples,
+               count(DISTINCT subj) AS n_subjects,
+               count(DISTINCT obj) AS n_objects,
+               count(DISTINCT pred) AS n_predicates
+        FROM triples
+        GROUP BY url
+        ORDER BY url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_triples_nodict": _kg_triples_oracle(linked=False),
+        "kg_triples_linked": _kg_triples_oracle(linked=True),
+        "kg_coverage_by_url": _kg_coverage_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -763,7 +932,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(*) AS n_docs,
                    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 6) AS avg_tokens
+                   (1000000 * sum(len(regexp_split_to_array(trim(text), '\s+'))))
+                       // count(*) AS avg_tokens_micro
             FROM documents
             GROUP BY lang
             ORDER BY lang
@@ -966,20 +1136,24 @@ def oracle_sql() -> dict[str, str]:
             FROM per_dim GROUP BY label ORDER BY label
         """,
         "embedding_topk": """
-            WITH scored AS (
+            WITH dbl AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings
+            ), scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.embedding, c.embedding)
-                           AS cos_raw,
+                       list_cosine_similarity(q.emb, c.emb) AS cos_raw,
                        row_number() OVER (
                            PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               q.embedding, c.embedding) DESC,
-                               c.vec_id ASC
+                           ORDER BY list_cosine_similarity(q.emb, c.emb)
+                               DESC, c.vec_id ASC
                        ) AS rank
-                FROM embeddings q JOIN embeddings c
+                FROM dbl q JOIN dbl c
                      ON q.vec_id < 5 AND q.vec_id != c.vec_id
             )
-            SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cosine
+            SELECT query_id, neighbor_id, rank,
+                   CAST(round(cos_raw * 10000) AS BIGINT) AS cosine_x10k
             FROM scored WHERE rank <= 3
             ORDER BY query_id, rank
         """,

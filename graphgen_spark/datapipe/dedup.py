@@ -29,6 +29,32 @@ from pyspark.storagelevel import StorageLevel
 
 from graphgen_spark.operators.components import connected_components
 
+# Persisted intermediates (shingle postings, signature tables, LSH
+# buckets) are registered here so long-lived sessions can release the
+# cached blocks once the consuming action has run — repeated dedup
+# calls must not accumulate disk blocks until session end.
+_CACHE_HANDLES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    h = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE_HANDLES.append(h)
+    return h
+
+
+def release_dedup_caches(blocking: bool = False) -> int:
+    """Unpersist every intermediate cached by dedup calls so far.
+    Call after the final action that consumes a dedup result (the
+    returned frames are lazy, so the caller owns the action)."""
+    n = len(_CACHE_HANDLES)
+    for h in _CACHE_HANDLES:
+        try:
+            h.unpersist(blocking=blocking)
+        except Exception:
+            pass
+    _CACHE_HANDLES.clear()
+    return n
+
 
 # ------------------------------------------------------------- exact
 
@@ -75,9 +101,7 @@ def ngram_jaccard_pairs(
     # the postings table feeds three plan branches (sizes + both join
     # sides) — materialize it once instead of re-running the explode
     # per branch (at scale this is the landed shingle-postings table)
-    sh = shingles(docs, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _persist(shingles(docs, text_col, id_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -169,9 +193,9 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     # both sides of the bucket self-join scan the signatures — persist
     # so the Python MinHash hop runs once, not twice
-    sigs = minhash_signatures(
+    sigs = _persist(minhash_signatures(
         docs, text_col, id_col, n, num_perm, seed
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -211,9 +235,7 @@ def minhash_lsh_dedup(
 
     # verify candidates with exact n-gram Jaccard (postings table
     # persisted: it feeds sizes + both verification join sides)
-    sh = shingles(docs, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _persist(shingles(docs, text_col, id_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col("doc_id").alias("a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -343,9 +365,8 @@ def simhash_dup_pairs(
     """(a, b, hamming): banded SimHash blocking (pigeonhole: any pair
     within Hamming distance < bands shares at least one exact band),
     then exact Hamming verification via bit_count(xor)."""
-    sigs = simhash_signatures(docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # scanned by both sides of the band self-join
+    sigs = _persist(simhash_signatures(docs, text_col, id_col))
+    # scanned by both sides of the band self-join
     width = 64 // bands
     band_structs = [
         F.struct(
@@ -413,9 +434,8 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(F.array(*table_structs)).alias("tb"),
     ).select("id", "v", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # scanned by both sides of the bucket self-join
+             F.col("tb.bucket").alias("bucket"))
+    bucketed = _persist(bucketed)  # both sides of the bucket self-join
     left = bucketed.select(
         F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket"
     )

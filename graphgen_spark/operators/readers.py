@@ -55,7 +55,16 @@ def read_json_docs(
     parse that yields ONLY ``_corrupt_record`` fails loudly instead of
     dropping every row downstream."""
     if multiline is None:
-        multiline = any(_suffix(p) == ".json" for p in paths)
+        # a single multiLine setting applied to a mixed .json/.jsonl
+        # list silently shreds the .jsonl side: read each suffix group
+        # with its own mode and unify
+        json_paths = [p for p in paths if _suffix(p) == ".json"]
+        other_paths = [p for p in paths if _suffix(p) != ".json"]
+        if json_paths and other_paths:
+            a = read_json_docs(spark, json_paths, multiline=True)
+            b = read_json_docs(spark, other_paths, multiline=False)
+            return a.unionByName(b, allowMissingColumns=True)
+        multiline = bool(json_paths)
     df = spark.read.option(
         "multiLine", "true" if multiline else "false"
     ).json(paths)
@@ -138,11 +147,14 @@ def read_pickle_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
                         k: v for k, v in item.items()
                         if k not in ("type", "content")
                     }
+                    # default=str: the reference PickleReader tolerates
+                    # arbitrary values (datetime/bytes/numpy); one bad
+                    # value must not fail the whole Spark task
                     rows.append(
                         (
                             item.get("type"),
                             item.get("content"),
-                            json.dumps(extra, sort_keys=True)
+                            json.dumps(extra, sort_keys=True, default=str)
                             if extra else None,
                             path,
                         )
@@ -272,9 +284,9 @@ def _rdf_docs_from_triples(triples: DataFrame) -> DataFrame:
 _TTL_TOKEN = re.compile(
     r"""
       <[^>]*>                                   # IRI
-    | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]+
+    | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^(?:[A-Za-z_][\w.-]*)?:[\w.-]+
                           |@[A-Za-z0-9-]+)?     # literal (+dtype|lang)
-    | [A-Za-z_][\w.-]*:[\w.-]*                  # prefixed name
+    | (?:[A-Za-z_][\w.-]*)?:[\w.-]*             # prefixed name ('' pfx ok)
     | \ba\b                                     # rdf:type keyword
     | [;,.\[\]()]                               # punctuation
     """,
@@ -370,7 +382,9 @@ def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
                         continue
                     if pred is None:
                         pred = t
-                    else:
+                    elif not pred.startswith('"'):
+                        # a literal in predicate position is malformed
+                        # Turtle — drop the group, never emit it
                         s, _ = resolve(subj)
                         p, _ = resolve(pred)
                         o, is_lit = resolve(t)

@@ -317,3 +317,105 @@ def alias_dictionary_df(spark: SparkSession, n_entities: int) -> DataFrame:
             F.col("_m.canonical_name").alias("canonical_name"),
         )
     )
+
+
+# --------------------------------------------- oracle materialization
+#
+# The synthesized pages and the alias label table are deterministic
+# pure-Python functions of (doc_ids, n_entities).  Materializing them
+# to parquet WITHOUT Spark lets an independent engine (DuckDB) re-derive
+# the KG triples from first principles — regexp over pages.text plus a
+# union-find label table — giving the driver a hard hash-checkable
+# oracle for the extraction/linking/canonicalization spine.
+
+
+def materialize_pages_parquet(
+    sf_dir: str, out_path: str, n_entities: int = 2000
+) -> str:
+    """Write (url, lang, text) for every doc_id in
+    ``{sf_dir}/documents.parquet`` — plain pyarrow, no Spark.  Identical
+    content to ``pages_from_doc_ids`` by construction (same
+    ``gen_page``)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    urls, langs, texts = [], [], []
+    for pid in tbl.column("doc_id").to_pylist():
+        url, lang, text, _ = gen_page(int(pid), n_entities)
+        urls.append(url)
+        langs.append(lang)
+        texts.append(text)
+    out = pa.table({"url": urls, "lang": langs, "text": texts})
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def materialize_alias_labels_parquet(
+    out_path: str, n_entities: int = 2000
+) -> str:
+    """Write (alias_norm, canonical_key): the entity-linking label table
+    computed by a driver-side union-find over the alias<->canonical
+    bipartite graph — an implementation INDEPENDENT of the Spark
+    large-star/small-star CC in ``pipelines.alias_labels`` (same
+    semantics: per-alias min-(id,name) owner, component representative =
+    lexicographically smallest canonical name)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphgen_spark.textkit import clean_str
+
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    best: dict[str, tuple[int, str]] = {}
+    for eid in range(n_entities):
+        canon = canonical_name(eid).upper()
+        for alias in aliases_of(eid):
+            a = clean_str(alias.upper())
+            cur = best.get(a)
+            if cur is None or (eid, canon) < cur:
+                best[a] = (eid, canon)
+
+    parent: dict[object, object] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, (_eid, canon) in best.items():
+        union(("A", a), ("C", canon))
+
+    rep: dict[object, str] = {}
+    for _a, (_eid, canon) in best.items():
+        r = find(("C", canon))
+        if r not in rep or canon < rep[r]:
+            rep[r] = canon
+
+    aliases, keys = [], []
+    for a in sorted(best):
+        aliases.append(a)
+        keys.append(rep[find(("A", a))])
+    out = pa.table({"alias_norm": aliases, "canonical_key": keys})
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_path)
+    return out_path

@@ -27,7 +27,9 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # full precision: a %.6g normalization masked a driver-visible
+        # 6th-decimal mismatch for two rounds (VERDICT r2, "What's wrong")
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
