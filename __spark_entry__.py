@@ -236,6 +236,50 @@ def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_edges_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_edges semantics, oracle-checked: canonical-pair mention
+    counts, capped distinct-source counts, and the head of the sorted
+    distinct description set (the summary gate never cuts inside the
+    first short element, so split(desc)[0] == min(pred) exactly)."""
+    from graphgen_spark.pipelines import run_kg_pipeline
+
+    pages = _pages_for(spark, sf_dir)
+    result = run_kg_pipeline(
+        spark, pages, alias_dict=_alias_dict(spark),
+        chunk_size=1_000_000_000, chunk_overlap=0,
+    )
+    return (
+        result["edges"].select(
+            "src_id", "tgt_id", "n_mentions",
+            F.size("source_ids").alias("n_sources_capped"),
+            F.split("description", "<SEP>")[0].alias("desc_head"),
+        )
+        .orderBy("src_id", "tgt_id")
+    )
+
+
+def _q_kg_nodes_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_nodes semantics, oracle-checked: per-canonical-entity
+    mention counts (one entity record per first in-chunk occurrence of
+    each alias — reference seen-set semantics), capped source counts,
+    description-set head."""
+    from graphgen_spark.pipelines import run_kg_pipeline
+
+    pages = _pages_for(spark, sf_dir)
+    result = run_kg_pipeline(
+        spark, pages, alias_dict=_alias_dict(spark),
+        chunk_size=1_000_000_000, chunk_overlap=0,
+    )
+    return (
+        result["nodes"].select(
+            "entity_name", "n_mentions",
+            F.size("source_ids").alias("n_sources_capped"),
+            F.split("description", "<SEP>")[0].alias("desc_head"),
+        )
+        .orderBy("entity_name")
+    )
+
+
 def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url coverage statistics over the canonical triples table
     (whole-doc linked path -> oracle-checkable; n_chunks is omitted
@@ -752,6 +796,55 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_qa_eval_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated evaluator metrics (the qa_eval_metrics SHAPE) over an
+    SQL-expressible QA frame, hash-proof via per-row integer micros.
+    The KG-chain qa_eval_metrics stays rows-only: its input communities
+    come from the greedy BFS partitioner (not SQL-expressible) and MTLD
+    is an order-dependent scan."""
+    from graphgen_spark.operators.evaluate import (
+        with_reward_score,
+        with_uni_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qa = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("What does document "), F.col("doc_id").cast("string"),
+            F.lit(" state?"),
+        ).alias("question"),
+        F.col("text").alias("answer"),
+    )
+    scored = with_uni_scores(with_reward_score(qa)).withColumn(
+        "answer_tokens", F.size(F.split(F.trim("answer"), r"\s+"))
+    )
+    micro = lambda c: F.round(F.col(c) * 1000000).cast("long")  # noqa: E731
+    return (
+        scored.select(
+            "lang", "answer_tokens",
+            micro("reward_score").alias("rw"),
+            micro("naturalness").alias("na"),
+            micro("coherence").alias("co"),
+            micro("understandability").alias("un"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("(1000000 * sum(answer_tokens)) div count(*)").alias(
+                "avg_answer_tokens_micro"
+            ),
+            F.expr("sum(rw) div count(*)").alias("avg_reward_micro"),
+            F.expr("sum(na) div count(*)").alias("avg_naturalness_micro"),
+            F.expr("sum(co) div count(*)").alias("avg_coherence_micro"),
+            F.expr("sum(un) div count(*)").alias(
+                "avg_understandability_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -765,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_degrees": _q_supplier_part_degrees,
         "events_sessions": _q_events_sessions,
         "qa_eval_metrics": _q_qa_eval_metrics,
+        "qa_eval_metrics_agg": _q_qa_eval_metrics_agg,
         "rephrase_docs": _q_rephrase_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_quality_by_lang": _q_doc_quality,
@@ -775,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "kg_triples_nodict": _q_kg_triples_nodict,
         "kg_triples_linked": _q_kg_triples_linked,
+        "kg_edges_merged": _q_kg_edges_merged,
+        "kg_nodes_merged": _q_kg_nodes_merged,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities": _q_kg_communities,
@@ -877,6 +973,79 @@ def _kg_oracle_ctes(linked: bool) -> str:
         )"""
 
 
+def _kg_edges_merged_oracle() -> str:
+    return f"""{_kg_oracle_ctes(linked=True)}
+        SELECT subj AS src_id, obj AS tgt_id,
+               count(*) AS n_mentions,
+               least(count(DISTINCT url), 200) AS n_sources_capped,
+               min(pred) AS desc_head
+        FROM triples
+        GROUP BY subj, obj
+        ORDER BY src_id, tgt_id
+    """
+
+
+def _kg_nodes_merged_oracle() -> str:
+    """Entity records: one per FIRST in-doc occurrence of each alias
+    (src checked before tgt within a match — reference seen-set order),
+    description = '<alias> is mentioned in: <sentence>'."""
+    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
+
+    pages_path, labels_path = _kg_oracle_paths()
+    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
+    assert "'" not in en and "'" not in zh
+    return f"""
+        WITH pages AS (
+            SELECT url, text FROM read_parquet('{pages_path}')
+        ),
+        m AS (
+            SELECT url,
+                   unnest(range(1, len(regexp_extract_all(text, '{en}', 1))
+                                + 1)) AS ord,
+                   unnest(regexp_extract_all(text, '{en}', 1)) AS s,
+                   unnest(regexp_extract_all(text, '{en}', 3)) AS t,
+                   unnest(regexp_extract_all(text, '{en}', 0)) AS sent
+            FROM pages
+            UNION ALL
+            SELECT url,
+                   1000000 +
+                   unnest(range(1, len(regexp_extract_all(text, '{zh}', 1))
+                                + 1)) AS ord,
+                   unnest(regexp_extract_all(text, '{zh}', 1)) AS s,
+                   unnest(regexp_extract_all(text, '{zh}', 3)) AS t,
+                   unnest(regexp_extract_all(text, '{zh}', 0)) AS sent
+            FROM pages
+        ),
+        occ AS (
+            SELECT url, alias, sent,
+                   row_number() OVER (
+                       PARTITION BY url, alias ORDER BY ordkey
+                   ) AS rn
+            FROM (
+                SELECT url, s AS alias, sent, 2 * ord AS ordkey FROM m
+                UNION ALL
+                SELECT url, t AS alias, sent, 2 * ord + 1 AS ordkey FROM m
+            )
+        ),
+        ent AS (
+            SELECT url, alias,
+                   alias || ' is mentioned in: ' || sent AS descr
+            FROM occ WHERE rn = 1
+        ),
+        lab AS (
+            SELECT alias_norm, canonical_key
+            FROM read_parquet('{labels_path}')
+        )
+        SELECT coalesce(l.canonical_key, upper(e.alias)) AS entity_name,
+               count(*) AS n_mentions,
+               least(count(DISTINCT e.url), 200) AS n_sources_capped,
+               min(e.descr) AS desc_head
+        FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
+        GROUP BY entity_name
+        ORDER BY entity_name
+    """
+
+
 def _kg_triples_oracle(linked: bool) -> str:
     return f"""{_kg_oracle_ctes(linked)}
         SELECT url, subj, pred, obj, count(*) AS n_mentions
@@ -904,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_nodict": _kg_triples_oracle(linked=False),
         "kg_triples_linked": _kg_triples_oracle(linked=True),
         "kg_coverage_by_url": _kg_coverage_oracle(),
+        "kg_edges_merged": _kg_edges_merged_oracle(),
+        "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -1206,6 +1377,60 @@ def oracle_sql() -> dict[str, str]:
                    mask_tok AS answer
             FROM t WHERE mask_tok IS NOT NULL AND mask_tok != ''
             ORDER BY doc_id
+        """,
+        "qa_eval_metrics_agg": r"""
+            WITH qa AS (
+                SELECT doc_id, lang,
+                       'What does document ' || doc_id || ' state?'
+                           AS question,
+                       text AS answer
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(answer), '\s+') AS a,
+                       regexp_split_to_array(trim(question), '\s+') AS q,
+                       len(regexp_split_to_array(trim(answer), '\s+'))
+                           AS n_ans,
+                       length(trim(answer))::DOUBLE
+                           / len(regexp_split_to_array(trim(answer), '\s+'))
+                           AS avg_wlen
+                FROM qa
+            ),
+            o AS (
+                SELECT doc_id, lang, n_ans, avg_wlen,
+                       len(list_intersect(list_distinct(q),
+                                          list_distinct(a)))::DOUBLE
+                           / len(list_distinct(list_concat(
+                                 list_distinct(q), list_distinct(a))))
+                           AS overlap
+                FROM t
+            ),
+            s AS (
+                SELECT lang, n_ans AS answer_tokens,
+                       CAST(round(round(ln(1.0 + n_ans)
+                             - 0.5 * abs(n_ans - 40.0) / 40.0
+                             + overlap, 6) * 1000000) AS BIGINT) AS rw,
+                       CAST(round(round(1.0 / (1.0
+                             + exp(abs(avg_wlen - 5.0) - 3.0)), 6)
+                             * 1000000) AS BIGINT) AS na,
+                       CAST(round(round(overlap, 6) * 1000000)
+                            AS BIGINT) AS co,
+                       CAST(round(round(1.0 - least(avg_wlen / 15.0, 1.0),
+                             6) * 1000000) AS BIGINT) AS un
+                FROM o
+            )
+            SELECT lang,
+                   count(*) AS n_pairs,
+                   (1000000 * sum(answer_tokens)) // count(*)
+                       AS avg_answer_tokens_micro,
+                   sum(rw) // count(*) AS avg_reward_micro,
+                   sum(na) // count(*) AS avg_naturalness_micro,
+                   sum(co) // count(*) AS avg_coherence_micro,
+                   sum(un) // count(*) AS avg_understandability_micro
+            FROM s
+            GROUP BY lang
+            ORDER BY lang
         """,
         "qa_eval_docs": r"""
             WITH qa AS (

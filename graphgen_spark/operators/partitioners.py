@@ -267,6 +267,16 @@ def _greedy_partition_pdf(
     return out
 
 
+# One task's pandas frame holds one component's units.  On web-scale
+# graphs the giant connected component is a constant hazard — above
+# this gate a component is deterministically hash-bucketed into
+# bounded sub-frames before the greedy growth (each sub-frame grows
+# communities over its own units only; greedy growth can't cross a
+# bucket exactly like it can't cross a component).  Mirrors the
+# size gate on the CC driver union-find (components.py).
+COMPONENT_UNIT_GATE = 200_000
+
+
 def _partition_with(
     units: DataFrame,
     strategy: str,
@@ -276,7 +286,10 @@ def _partition_with(
     unit_sampling: str = "random",
     anchor_type: str | None = None,
     anchor_names: DataFrame | None = None,
+    component_unit_gate: int = COMPONENT_UNIT_GATE,
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     anchor_set_bc = None
     if anchor_names is not None:
         names = {r[0] for r in anchor_names.collect()}
@@ -285,8 +298,8 @@ def _partition_with(
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         anchors = anchor_set_bc.value if anchor_set_bc is not None else None
         rows = _greedy_partition_pdf(
-            pdf, strategy, max_units, min_units, max_tokens,
-            unit_sampling, anchors,
+            pdf.drop(columns=["_bucket"]), strategy, max_units, min_units,
+            max_tokens, unit_sampling, anchors,
         )
         return pd.DataFrame(
             rows,
@@ -295,7 +308,20 @@ def _partition_with(
             ],
         )
 
-    return units.groupBy("component").applyInPandas(
+    # window count reuses the component shuffle partitioning; oversized
+    # components split into ceil(size/gate) hash buckets — deterministic
+    # at any parallelism (xxhash64 of the unit key, not a task id)
+    w = Window.partitionBy("component")
+    n_buckets = F.ceil(
+        F.count(F.lit(1)).over(w) / F.lit(component_unit_gate)
+    )
+    bucketed = units.withColumn(
+        "_bucket",
+        F.when(n_buckets <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("kind", "a", "b"), n_buckets)
+        ),
+    )
+    return bucketed.groupBy("component", "_bucket").applyInPandas(
         apply_fn, schema=COMMUNITY_SCHEMA
     )
 
@@ -438,6 +464,51 @@ def _louvain(n_nodes: int, edge_idx: list, resolution: float,
     return labels
 
 
+def _leiden_index(pdf: pd.DataFrame):
+    """Backend-independent pre-processing of one component's units:
+    sorted node names, dense index, and the edge list in both index
+    and name form.  Shared by the leidenalg and Louvain branches so
+    the branch-specific code is only the membership call."""
+    names = sorted(pdf[pdf["kind"] == "n"]["a"])
+    idx = {n: i for i, n in enumerate(names)}
+    epdf = pdf[pdf["kind"] == "e"]
+    edge_pairs = [
+        (a, b) for a, b in zip(epdf["a"], epdf["b"])
+        if a in idx and b in idx
+    ]
+    edge_idx = [(idx[a], idx[b]) for a, b in edge_pairs]
+    return names, edge_idx, edge_pairs
+
+
+def _membership_to_rows(
+    membership, names, edge_pairs, max_size: int, tag: str
+) -> list:
+    """Backend-independent post-processing: membership vector ->
+    max_size-split community rows with induced edges (reference
+    ``leiden_partitioner.py:63-117`` split semantics)."""
+    by_comm: dict = {}
+    for i, c in enumerate(membership):
+        by_comm.setdefault(c, []).append(names[i])
+    rows = []
+    for ci in sorted(by_comm):
+        mnames = sorted(by_comm[ci])
+        for s in range(0, len(mnames), max_size):
+            chunk = mnames[s : s + max_size]
+            cset = set(chunk)
+            cedges = [
+                {"src": a, "dst": b}
+                for a, b in edge_pairs
+                if a in cset and b in cset
+            ]
+            rows.append(
+                (
+                    f"{tag}-{ci}-{s // max_size}-{chunk[0]}",
+                    chunk, cedges, len(chunk) + len(cedges), 0,
+                )
+            )
+    return rows
+
+
 def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
                      seed=42) -> DataFrame:
     """Community detection per connected component: leidenalg+igraph
@@ -455,14 +526,7 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     units = units_with_components(nodes, edges)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        names = sorted(pdf[pdf["kind"] == "n"]["a"])
-        idx = {n: i for i, n in enumerate(names)}
-        epdf = pdf[pdf["kind"] == "e"]
-        edge_idx = [
-            (idx[a], idx[b])
-            for a, b in zip(epdf["a"], epdf["b"])
-            if a in idx and b in idx
-        ]
+        names, edge_idx, edge_pairs = _leiden_index(pdf)
         if have_leiden:
             import igraph as ig
             import leidenalg as la
@@ -477,26 +541,9 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
         else:
             membership = _louvain(len(names), edge_idx, resolution)
             tag = "louvain"
-        by_comm: dict = {}
-        for i, c in enumerate(membership):
-            by_comm.setdefault(c, []).append(names[i])
-        rows = []
-        for ci in sorted(by_comm):
-            mnames = sorted(by_comm[ci])
-            for s in range(0, len(mnames), max_size):
-                chunk = mnames[s : s + max_size]
-                cset = set(chunk)
-                cedges = [
-                    {"src": a, "dst": b}
-                    for a, b in zip(epdf["a"], epdf["b"])
-                    if a in cset and b in cset
-                ]
-                rows.append(
-                    (
-                        f"{tag}-{ci}-{s // max_size}-{chunk[0]}",
-                        chunk, cedges, len(chunk) + len(cedges), 0,
-                    )
-                )
+        rows = _membership_to_rows(
+            membership, names, edge_pairs, max_size, tag
+        )
         return pd.DataFrame(
             rows,
             columns=[
