@@ -138,7 +138,7 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages_for(spark, sf_dir)
     result = run_kg_pipeline(
-        spark, pages, alias_dict=_alias_dict(spark),
+        spark, pages, precomputed_labels=_labels_for(spark),
         chunk_size=512, chunk_overlap=64,
     )
     return result["triples"].orderBy("url", "subj", "obj", "pred")
@@ -192,22 +192,40 @@ def _q_kg_triple_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
-def _kg_triples_wholedoc(
-    spark: SparkSession, sf_dir: str, linked: bool
-) -> DataFrame:
+def _labels_for(spark: SparkSession) -> DataFrame:
+    """Session-cached alias-CC label table: a static per-release asset
+    shared by every linked KG query in one driver/bench session (the
+    CC fixpoint is the expensive part of each query otherwise)."""
+    key = (id(spark), "labels")
+    if key not in _KG_CACHE:
+        from graphgen_spark.pipelines import alias_labels
+
+        _KG_CACHE[key] = alias_labels(_alias_dict(spark)).localCheckpoint(
+            eager=True
+        )
+    return _KG_CACHE[key]
+
+
+def _kg_wholedoc(spark: SparkSession, sf_dir: str, linked: bool) -> dict:
     """KG spine with whole-doc chunks (no boundary/overlap effects), so
-    the triple set is a pure function of pages.text — the configuration
-    the DuckDB regex oracle re-derives independently.  ``linked=True``
-    runs the alias-dict broadcast linking + CC canonicalization too."""
+    the result tables are pure functions of pages.text — the
+    configuration the DuckDB regex oracle re-derives independently.
+    ``linked=True`` runs the alias-dict broadcast linking + CC
+    canonicalization too."""
     from graphgen_spark.pipelines import run_kg_pipeline
 
     pages = _pages_for(spark, sf_dir)
-    result = run_kg_pipeline(
+    return run_kg_pipeline(
         spark, pages,
-        alias_dict=_alias_dict(spark) if linked else None,
+        precomputed_labels=_labels_for(spark) if linked else None,
         chunk_size=1_000_000_000, chunk_overlap=0,
     )
-    return result["triples"]
+
+
+def _kg_triples_wholedoc(
+    spark: SparkSession, sf_dir: str, linked: bool
+) -> DataFrame:
+    return _kg_wholedoc(spark, sf_dir, linked)["triples"]
 
 
 def _q_kg_triples_nodict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,13 +259,7 @@ def _q_kg_edges_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, capped distinct-source counts, and the head of the sorted
     distinct description set (the summary gate never cuts inside the
     first short element, so split(desc)[0] == min(pred) exactly)."""
-    from graphgen_spark.pipelines import run_kg_pipeline
-
-    pages = _pages_for(spark, sf_dir)
-    result = run_kg_pipeline(
-        spark, pages, alias_dict=_alias_dict(spark),
-        chunk_size=1_000_000_000, chunk_overlap=0,
-    )
+    result = _kg_wholedoc(spark, sf_dir, linked=True)
     return (
         result["edges"].select(
             "src_id", "tgt_id", "n_mentions",
@@ -263,13 +275,7 @@ def _q_kg_nodes_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention counts (one entity record per first in-chunk occurrence of
     each alias — reference seen-set semantics), capped source counts,
     description-set head."""
-    from graphgen_spark.pipelines import run_kg_pipeline
-
-    pages = _pages_for(spark, sf_dir)
-    result = run_kg_pipeline(
-        spark, pages, alias_dict=_alias_dict(spark),
-        chunk_size=1_000_000_000, chunk_overlap=0,
-    )
+    result = _kg_wholedoc(spark, sf_dir, linked=True)
     return (
         result["nodes"].select(
             "entity_name", "n_mentions",
@@ -278,6 +284,55 @@ def _q_kg_nodes_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_name")
     )
+
+
+def _q_kg_qa_true_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate-over-KG, oracle-checked end to end: merged edges ->
+    triple partitioner (pure SQL op) -> community_to_batches ->
+    generate_qa('true_false').  Restricted to edges whose merged
+    description is UNGATED (< 200 tokens == never truncated by the
+    summary gate), so DuckDB reproduces the exact question strings
+    from the sorted-distinct description join; gated edges are covered
+    by kg_edges_merged (counts/head) and the rows-only kg_qa_*."""
+    from graphgen_spark.operators.generate import generate_qa
+    from graphgen_spark.operators.partitioners import (
+        community_to_batches,
+        triple_partition,
+    )
+
+    result = _kg_wholedoc(spark, sf_dir, linked=True)
+    nodes, edges = result["nodes"], result["edges"]
+    edges_u = edges.where(F.col("length") < 200)
+    comms = triple_partition(edges_u)
+    batches = community_to_batches(comms, nodes, edges_u)
+    qa = generate_qa(batches, mode="true_false")
+    return qa.select("community_id", "question", "answer").orderBy(
+        "community_id", "question"
+    )
+
+
+def _kg_qa_true_false_oracle() -> str:
+    from graphgen_spark.textkit import _TOKEN_RE
+
+    tok = _TOKEN_RE.pattern
+    assert "'" not in tok
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   array_to_string(
+                       list_sort(list_distinct(list(pred)))[1:200],
+                       '<SEP>'
+                   ) AS descr
+            FROM triples
+            GROUP BY subj, obj
+        )
+        SELECT subj || '::' || obj AS community_id,
+               'True or false: ' || descr AS question,
+               'True' AS answer
+        FROM merged
+        WHERE len(regexp_extract_all(descr, '{tok}')) < 200
+        ORDER BY community_id, question
+    """
 
 
 def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +436,7 @@ def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
 
     pages = _pages_for(spark, sf_dir)
     out = run_kg_pipeline(
-        spark, pages, alias_dict=_alias_dict(spark),
+        spark, pages, precomputed_labels=_labels_for(spark),
         chunk_size=512, chunk_overlap=64, persist_records=True,
     )
     # materialize: downstream probe/partition stages (and the CC
@@ -876,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_communities_louvain": _q_kg_communities_louvain,
         "kg_qa_pairs": _q_kg_qa_pairs,
+        "kg_qa_true_false": _q_kg_qa_true_false,
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
@@ -1075,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_coverage_by_url": _kg_coverage_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
+        "kg_qa_true_false": _kg_qa_true_false_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -1471,16 +1528,23 @@ def oracle_sql() -> dict[str, str]:
                        AS understandability
             FROM o ORDER BY doc_id
         """,
-        # kg_qa_{cot,multi_choice,multi_answer,fill_in_blank,
-        # masked_fib,quiz}: community payloads come from the non-SQL
-        # extraction pipeline -> rows-only; the mode kernels themselves
-        # are oracle-checked doc-level by the three queries above and
-        # value-tested in tests/test_generate_modes.py.
-        # minhash_dedup_groups / media_features: MinHash permutations
-        # and the media decode stub are not SQL-expressible ->
-        # rows-only checks (value behavior covered by pytest).
-        # kg_triples / kg_coverage_by_url / kg_communities / kg_qa_pairs:
-        # extraction is not SQL-expressible (mock-LLM + parser UDFs) ->
-        # rows-only check; value correctness is gated by the pytest
-        # P/R harness and partitioner-invariant tests.
+        # Remaining rows-only queries, each with a concrete reason:
+        # - kg_triples / kg_triple_eval: the CHUNKED pipeline config
+        #   (512/64 overlap) — chunk boundaries aren't SQL; the same
+        #   spine is hash-checked whole-doc by kg_triples_{nodict,
+        #   linked}, kg_{nodes,edges}_merged, kg_coverage_by_url,
+        #   kg_qa_true_false.
+        # - kg_communities / kg_communities_louvain / kg_qa_{pairs,cot,
+        #   multi_choice,multi_answer,fill_in_blank,masked_fib,quiz,
+        #   vqa}: community payloads come from the greedy seeded-random
+        #   BFS growth (not SQL); generate kernels are oracle-checked
+        #   doc-level (three *_docs queries) and KG-level via
+        #   kg_qa_true_false over the pure-SQL triple partitioner.
+        # - qa_eval_metrics: same community input + order-dependent
+        #   MTLD; the aggregate surface is hash-checked by
+        #   qa_eval_metrics_agg and per-row by qa_eval_docs.
+        # - minhash_dedup_groups: crc32+permutation MinHash is not
+        #   SQL-expressible; kernel behavior covered by pytest.
+        # - media_features: payloads are hash-synthesized binaries; the
+        #   decode stub's byte-histogram isn't SQL-expressible.
     }

@@ -133,3 +133,68 @@ class TestStreamingIngest:
         assert chunks.count() == chunks.select(
             "chunk_id", "url"
         ).distinct().count()
+
+
+class TestSnapshotTable:
+    """Iceberg commit-model emulation: append/overwrite snapshots,
+    atomic pointer, time travel, rollback, post-rollback branch."""
+
+    def test_snapshot_lifecycle(self, spark, tmp_path):
+        from graphgen_spark.catalog import (
+            current_snapshot_id,
+            snapshot_log,
+            snapshot_read,
+            snapshot_rollback,
+            snapshot_write,
+        )
+
+        loc = str(tmp_path)
+        df1 = spark.range(5).select(
+            F.col("id"), F.lit("a").alias("tag")
+        )
+        s1 = snapshot_write(spark, df1, loc, "t", mode="overwrite",
+                            bucket_key="id", n_buckets=4)
+        assert s1 == 1
+        assert snapshot_read(spark, loc, "t").count() == 5
+
+        df2 = spark.range(5, 8).select(
+            F.col("id"), F.lit("b").alias("tag")
+        )
+        s2 = snapshot_write(spark, df2, loc, "t", mode="append",
+                            bucket_key="id", n_buckets=4)
+        assert s2 == 2
+        cur = snapshot_read(spark, loc, "t")
+        assert cur.count() == 8
+        # bucket partition column landed
+        assert "part_bucket" in cur.columns
+
+        # time travel: snapshot 1 is still the 5-row table
+        assert snapshot_read(spark, loc, "t", snapshot_id=1).count() == 5
+
+        # rollback is metadata-only; snapshot 2 stays readable
+        snapshot_rollback(loc, "t", 1)
+        assert current_snapshot_id(loc, "t") == 1
+        assert snapshot_read(spark, loc, "t").count() == 5
+        assert snapshot_read(spark, loc, "t", snapshot_id=2).count() == 8
+
+        # writing after rollback branches PAST the rolled-back version
+        # (never overwrites snapshot 2's files)
+        df3 = spark.range(100, 102).select(
+            F.col("id"), F.lit("c").alias("tag")
+        )
+        s3 = snapshot_write(spark, df3, loc, "t", mode="append",
+                            bucket_key="id", n_buckets=4)
+        assert s3 == 3
+        assert snapshot_read(spark, loc, "t").count() == 7  # 5 + 2
+        assert snapshot_read(spark, loc, "t", snapshot_id=2).count() == 8
+
+        log = snapshot_log(loc, "t")
+        assert [m["snapshot_id"] for m in log] == [1, 3]
+        assert log[-1]["parent_id"] == 1
+        assert log[0]["operation"] == "overwrite"
+
+    def test_read_missing_table_raises(self, spark, tmp_path):
+        from graphgen_spark.catalog import snapshot_read
+
+        with pytest.raises(FileNotFoundError):
+            snapshot_read(spark, str(tmp_path), "nope")

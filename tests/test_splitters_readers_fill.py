@@ -167,3 +167,46 @@ ex:bob a ex:Person ;
         docs = read_documents(spark, [ttl_file])
         assert docs.count() == 3
         assert "_trace_id" in docs.columns
+
+
+class TestReaderAdviceFixes:
+    """ADVICE r2 regressions: non-JSON-serializable pickle meta values
+    must not fail the task; mixed .json/.jsonl lists must read each
+    suffix group in its own multiLine mode."""
+
+    def test_pickle_nonjson_meta_values(self, spark, tmp_path):
+        import datetime
+        import pickle
+
+        import numpy as np
+
+        p = tmp_path / "weird.pkl"
+        data = [
+            {"type": "text", "content": "doc with weird meta",
+             "when": datetime.datetime(2026, 1, 2, 3, 4, 5),
+             "blob": b"\x01\x02", "score": np.float64(0.5)},
+        ]
+        p.write_bytes(pickle.dumps(data))
+        rows = read_pickle_docs(spark, [str(p)]).collect()
+        assert len(rows) == 1  # row kept, not task-fatal
+        assert "2026-01-02" in rows[0]["meta"]  # default=str rendering
+
+    def test_mixed_json_jsonl_paths(self, spark, tmp_path):
+        import json
+
+        arr = tmp_path / "whole.json"  # pretty-printed whole-file array
+        arr.write_text(json.dumps(
+            [{"type": "text", "content": "from array"}], indent=2
+        ))
+        lines = tmp_path / "lines.jsonl"  # one object per line
+        lines.write_text(
+            "\n".join(
+                json.dumps({"type": "text", "content": f"line {i}"})
+                for i in range(3)
+            )
+        )
+        from graphgen_spark.operators.readers import read_json_docs
+
+        df = read_json_docs(spark, [str(arr), str(lines)])
+        contents = {r["content"] for r in df.collect()}
+        assert contents == {"from array", "line 0", "line 1", "line 2"}
