@@ -87,85 +87,107 @@ def _tok_len_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: count_tokens(t or "")).astype("int32")
 
 
-def merge_nodes(entities: DataFrame) -> DataFrame:
-    """entities(entity_name, entity_type, description, source_id) ->
-    nodes(entity_name, entity_type, description, source_ids, length).
-    """
-    # majority type: count per (name,type), keep top by (cnt desc, type asc)
-    type_counts = entities.groupBy("entity_name", "entity_type").agg(
+def _capped_aggs(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Two-phase salted aggregation to the MERGEABLE per-key state:
+    (keys..., descs array, srcs array, n_mentions).  Phase 1 reduces
+    each hot key on N_SALTS reducers to capped partial sets + partial
+    counts; phase 2 merges the tiny partials.  No single reducer ever
+    sees an unbounded value list for a hot entity.
+
+    The state is a commutative monoid (capped sorted sets compose:
+    the K smallest of two K-smallest sets IS the global K smallest;
+    counts are additive) — the property the incremental pipeline
+    (pipelines/incremental.py) relies on."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("source_id", "description"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        _capped_sorted_set("description").alias("_descs"),
+        _capped_sorted_set("source_id").alias("_srcs"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return partial.groupBy(*keys).agg(
+        _merge_capped("_descs").alias("descs"),
+        _merge_capped("_srcs").alias("srcs"),
+        F.sum("_cnt").alias("n_mentions"),
+    )
+
+
+def node_type_counts(entities: DataFrame) -> DataFrame:
+    """(entity_name, entity_type, cnt) — the additive half of the node
+    state (majority is derived at finalize time, so counts merge)."""
+    return entities.groupBy("entity_name", "entity_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def majority_type(type_counts: DataFrame) -> DataFrame:
+    """(entity_name, entity_type): top by (cnt desc, type asc) — the
+    deterministic replacement for the reference's Counter-order tie."""
     w = Window.partitionBy("entity_name").orderBy(
         F.desc("cnt"), F.asc("entity_type")
     )
-    top_type = (
+    return (
         type_counts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("entity_name", "entity_type")
     )
 
-    # two-phase salted aggregation: phase 1 reduces each hot key on
-    # N_SALTS reducers to capped partial sets + partial counts; phase 2
-    # merges the tiny partials.  No single reducer ever sees an
-    # unbounded value list for a hot entity.
-    salted = entities.withColumn(
-        "_salt", F.pmod(F.xxhash64("source_id", "description"), F.lit(N_SALTS))
-    )
-    partial = salted.groupBy("entity_name", "_salt").agg(
-        _capped_sorted_set("description").alias("_descs"),
-        _capped_sorted_set("source_id").alias("_srcs"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
-    merged = partial.groupBy("entity_name").agg(
-        F.array_join(_merge_capped("_descs"), SEP).alias(
-            "description_merged"
-        ),
-        _merge_capped("_srcs").alias("source_ids"),
-        F.sum("_cnt").alias("n_mentions"),
-    )
-    nodes = (
-        merged.join(top_type, "entity_name")
-        .withColumn("description", summarize_if_long_udf("description_merged"))
+
+def finalize_nodes(
+    node_aggs: DataFrame, type_counts: DataFrame
+) -> DataFrame:
+    """Mergeable node state -> final nodes table (summary gate +
+    token length + majority type)."""
+    return (
+        node_aggs.join(majority_type(type_counts), "entity_name")
+        .withColumn(
+            "description",
+            summarize_if_long_udf(F.array_join("descs", SEP)),
+        )
         .withColumn("length", _tok_len_udf("description"))
         .select(
             "entity_name", "entity_type", "description",
-            "source_ids", "length", "n_mentions",
+            F.col("srcs").alias("source_ids"), "length", "n_mentions",
         )
     )
-    return nodes
+
+
+def finalize_edges(edge_aggs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Mergeable edge state -> final edges table; endpoints must both
+    exist in nodes (left-semi joins, broadcast by AQE when the node
+    side is small)."""
+    node_names = nodes.select(F.col("entity_name").alias("_nn"))
+    return (
+        edge_aggs.join(
+            node_names, edge_aggs.src_id == node_names._nn, "left_semi"
+        )
+        .join(node_names, edge_aggs.tgt_id == node_names._nn, "left_semi")
+        .withColumn(
+            "description",
+            summarize_if_long_udf(F.array_join("descs", SEP)),
+        )
+        .withColumn("length", _tok_len_udf("description"))
+        .select(
+            "src_id", "tgt_id", "description",
+            F.col("srcs").alias("source_ids"), "length", "n_mentions",
+        )
+    )
+
+
+def merge_nodes(entities: DataFrame) -> DataFrame:
+    """entities(entity_name, entity_type, description, source_id) ->
+    nodes(entity_name, entity_type, description, source_ids, length).
+    """
+    return finalize_nodes(
+        _capped_aggs(entities, ["entity_name"]),
+        node_type_counts(entities),
+    )
 
 
 def merge_edges(relations: DataFrame, nodes: DataFrame) -> DataFrame:
     """relations(src_id, tgt_id, description, source_id) + nodes ->
-    edges(src_id, tgt_id, description, source_ids, length); endpoints
-    must both exist in nodes (left-semi joins, broadcast by AQE when
-    the node side is small)."""
-    salted = relations.withColumn(
-        "_salt", F.pmod(F.xxhash64("source_id", "description"), F.lit(N_SALTS))
+    edges(src_id, tgt_id, description, source_ids, length)."""
+    return finalize_edges(
+        _capped_aggs(relations, ["src_id", "tgt_id"]), nodes
     )
-    partial = salted.groupBy("src_id", "tgt_id", "_salt").agg(
-        _capped_sorted_set("description").alias("_descs"),
-        _capped_sorted_set("source_id").alias("_srcs"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
-    merged = partial.groupBy("src_id", "tgt_id").agg(
-        F.array_join(_merge_capped("_descs"), SEP).alias(
-            "description_merged"
-        ),
-        _merge_capped("_srcs").alias("source_ids"),
-        F.sum("_cnt").alias("n_mentions"),
-    )
-    node_names = nodes.select(F.col("entity_name").alias("_nn"))
-    edges = (
-        merged.join(
-            node_names, merged.src_id == node_names._nn, "left_semi"
-        )
-        .join(node_names, merged.tgt_id == node_names._nn, "left_semi")
-        .withColumn("description", summarize_if_long_udf("description_merged"))
-        .withColumn("length", _tok_len_udf("description"))
-        .select(
-            "src_id", "tgt_id", "description",
-            "source_ids", "length", "n_mentions",
-        )
-    )
-    return edges
