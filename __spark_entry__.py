@@ -851,6 +851,46 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-lang hash-ordered sampling (datapipe/sampling.py) —
+    the reproducible-split curation op, oracle-checked."""
+    from graphgen_spark.datapipe.sampling import stratified_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        stratified_take(docs, k=50)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def _q_doc_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-budget take ('at least N tokens per language'),
+    oracle-checked: cumulative window sum over the md5 hash order."""
+    from graphgen_spark.datapipe.sampling import token_budget_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        token_budget_take(docs, budget_tokens=2_000)
+        .select("doc_id", "lang", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    )
+
+
+def _q_pages_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity cap (at most k pages per host) over the
+    synthesized pages, oracle-checked via the materialized pages
+    parquet."""
+    from graphgen_spark.datapipe.sampling import per_host_cap
+
+    pages = _pages_for(spark, sf_dir).select("url")
+    return (
+        per_host_cap(pages, k=3)
+        .select("url", "host", "host_rank")
+        .orderBy("host", "host_rank", "url")
+    )
+
+
 def _q_qa_eval_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated evaluator metrics (the qa_eval_metrics SHAPE) over an
     SQL-expressible QA frame, hash-proof via per-row integer micros.
@@ -914,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "qa_eval_metrics": _q_qa_eval_metrics,
         "qa_eval_metrics_agg": _q_qa_eval_metrics_agg,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_sample_budget": _q_doc_sample_budget,
+        "pages_host_cap": _q_pages_host_cap,
         "rephrase_docs": _q_rephrase_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_quality_by_lang": _q_doc_quality,
@@ -1102,6 +1145,23 @@ def _kg_nodes_merged_oracle() -> str:
     """
 
 
+def _pages_host_cap_oracle() -> str:
+    pages_path, _ = _kg_oracle_paths()
+    return f"""
+        SELECT url, host, host_rank FROM (
+            SELECT url,
+                   regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(
+                           url, '^[a-z]+://([^/]+)/', 1)
+                       ORDER BY md5(url), url
+                   ) AS host_rank
+            FROM read_parquet('{pages_path}')
+        ) WHERE host_rank <= 3
+        ORDER BY host, host_rank, url
+    """
+
+
 def _kg_triples_oracle(linked: bool) -> str:
     return f"""{_kg_oracle_ctes(linked)}
         SELECT url, subj, pred, obj, count(*) AS n_mentions
@@ -1132,6 +1192,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
+        "doc_sample_stratified": """
+            SELECT doc_id, lang, rn AS sample_rank FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 50
+            ORDER BY lang, sample_rank
+        """,
+        "doc_sample_budget": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\s+'))
+                           AS n_tokens,
+                       sum(len(regexp_split_to_array(trim(text), '\s+')))
+                           OVER (
+                               PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW
+                           ) AS cum_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, cum_tokens
+            FROM t WHERE (cum_tokens - n_tokens) < 2000
+            ORDER BY lang, cum_tokens
+        """,
+        "pages_host_cap": _pages_host_cap_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

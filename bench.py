@@ -75,6 +75,33 @@ def run_kg(spark, sf_dir: str) -> tuple[float, int, float]:
     return time.time() - t0, n_triples, dict_prep
 
 
+def run_kg_pages(spark, n_pages: int) -> tuple[float, int, float]:
+    """run_kg over a synthesized n-page corpus (scaling measurements
+    need corpus-proportional work, not the sf-dir suite size)."""
+    from pyspark.sql import functions as F
+    from graphgen_spark import synth
+    from graphgen_spark.pipelines import alias_labels, run_kg_pipeline
+
+    n_ent = synth.n_entities_for(n_pages)
+    pages = synth.pages_df(spark, n_pages, n_ent)
+    spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    t0 = time.time()
+    labels = alias_labels(
+        synth.alias_dictionary_df(spark, n_ent)
+    ).localCheckpoint(eager=True)
+    dict_prep = time.time() - t0
+    t0 = time.time()
+    out = run_kg_pipeline(
+        spark, pages, precomputed_labels=labels,
+        chunk_size=512, chunk_overlap=64, fused=True,
+    )
+    n_triples = out["triples"].count()
+    return time.time() - t0, n_triples, dict_prep
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -128,17 +155,27 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
         # pair capped at 8 cores: above ~12 busy vCPUs this host's
-        # hypervisor steals cycles (BASELINE.md "Hardware ceiling")
+        # hypervisor steals cycles (BASELINE.md "Hardware ceiling").
+        # Measured on a 160k-page synthetic corpus, NOT the sf0.1
+        # suite job: at 40k pages the fixed session/worker overhead
+        # (~5 s) dominates and a 2-vs-8-core ratio measures that
+        # floor, not the corpus-proportional work the gate is about
+        # (see tools/scaling_matrix.sh for the interleaved min-of-N
+        # version this mirrors).
+        n_pages = int(
+            os.environ.get("SPARK_GRAFT_SCALING_PAGES", "160000")
+        )
         hi_cpus = min(CPUS, 8)
         lo_cpus = max(1, hi_cpus // 4)
         spark_lo = _fresh_spark(lo_cpus)
-        t_lo, _, _ = run_kg(spark_lo, SF_DIR)
+        t_lo, _, _ = run_kg_pages(spark_lo, n_pages)
         spark_lo.stop()
         spark_hi = _fresh_spark(hi_cpus)
-        t_hi, _, _ = run_kg(spark_hi, SF_DIR)
+        t_hi, _, _ = run_kg_pages(spark_hi, n_pages)
         spark_hi.stop()
         eff = (t_lo / t_hi) / (hi_cpus / lo_cpus) if t_hi > 0 else None
         result["scaling"] = {
+            "n_pages": n_pages,
             "cpus_lo": lo_cpus, "wall_lo": round(t_lo, 3),
             "cpus_hi": hi_cpus, "wall_hi": round(t_hi, 3),
             "efficiency": round(eff, 3) if eff else None,

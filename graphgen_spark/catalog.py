@@ -295,6 +295,26 @@ def snapshot_rollback(location: str, name: str, snapshot_id: int) -> None:
     os.replace(hint_tmp, _hint_path(location, name))
 
 
+def snapshot_compact(
+    spark: SparkSession, location: str, name: str
+) -> int:
+    """Maintenance: rewrite the current snapshot's N data dirs into one
+    (an Iceberg rewrite_data_files analogue).  Contents are unchanged —
+    the new snapshot reads back row-identical; old snapshots stay
+    time-travel-readable."""
+    sid = current_snapshot_id(location, name)
+    if sid is None:
+        raise FileNotFoundError(
+            f"no committed snapshot for table {name} at {location}"
+        )
+    meta = _load_meta(location, name, sid)
+    df = snapshot_read(spark, location, name)
+    return snapshot_write(
+        spark, df, location, name, mode="overwrite",
+        summary={"compacted_from": meta["data_dirs"]},
+    )
+
+
 def snapshot_log(location: str, name: str) -> list[dict]:
     """Ancestry chain of the CURRENT snapshot, oldest first (the
     Iceberg history table equivalent)."""

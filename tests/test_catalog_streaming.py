@@ -198,3 +198,35 @@ class TestSnapshotTable:
 
         with pytest.raises(FileNotFoundError):
             snapshot_read(spark, str(tmp_path), "nope")
+
+
+class TestSnapshotCompact:
+    def test_compact_preserves_rows(self, spark, tmp_path):
+        from graphgen_spark.catalog import (
+            snapshot_compact,
+            snapshot_log,
+            snapshot_read,
+            snapshot_write,
+        )
+
+        loc = str(tmp_path)
+        for i in range(3):
+            snapshot_write(
+                spark,
+                spark.range(i * 10, (i + 1) * 10),
+                loc, "t", mode="append" if i else "overwrite",
+            )
+        before = sorted(
+            r["id"] for r in snapshot_read(spark, loc, "t").collect()
+        )
+        sid = snapshot_compact(spark, loc, "t")
+        after_meta = snapshot_log(loc, "t")[-1]
+        assert after_meta["snapshot_id"] == sid
+        assert len(after_meta["data_dirs"]) == 1
+        assert len(after_meta["summary"]["compacted_from"]) == 3
+        after = sorted(
+            r["id"] for r in snapshot_read(spark, loc, "t").collect()
+        )
+        assert after == before == list(range(30))
+        # pre-compaction snapshot still time-travels
+        assert snapshot_read(spark, loc, "t", snapshot_id=2).count() == 20
