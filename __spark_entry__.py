@@ -350,6 +350,38 @@ def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (5 rounds) over the canonical linked KG
+    edges — oracle-checked: the DuckDB side unrolls the identical
+    bigint floor-division iteration over the regex-derived triple set
+    (operators/graph_metrics.py; beyond the reference, whose graph
+    analytics stop at degree stats)."""
+    from graphgen_spark.operators.graph_metrics import pagerank_exact
+
+    edges = _kg_wholedoc(spark, sf_dir, linked=True)["edges"]
+    return (
+        pagerank_exact(
+            edges, iterations=5, src_col="src_id", dst_col="tgt_id"
+        )
+        .select("entity", "deg", "rank_micro")
+        .orderBy("entity")
+    )
+
+
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient (exact
+    micros) over the canonical linked KG — oracle-checked via the same
+    ordered pair self-joins in DuckDB."""
+    from graphgen_spark.operators.graph_metrics import triangle_counts
+
+    edges = _kg_wholedoc(spark, sf_dir, linked=True)["edges"]
+    return (
+        triangle_counts(edges, src_col="src_id", dst_col="tgt_id")
+        .select("entity", "deg", "n_triangles", "clustering_micro")
+        .orderBy("entity")
+    )
+
+
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the events stream table: per-user event
     sequencing + inter-event gap (SURVEY §2.6 window surface)."""
@@ -971,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
         "kg_communities_louvain": _q_kg_communities_louvain,
         "kg_qa_pairs": _q_kg_qa_pairs,
@@ -1184,11 +1218,25 @@ def _kg_coverage_oracle() -> str:
     """
 
 
+def _kg_pagerank_oracle() -> str:
+    from graphgen_spark.operators.graph_metrics import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_kg_oracle_ctes(linked=True), iterations=5)
+
+
+def _kg_triangles_oracle() -> str:
+    from graphgen_spark.operators.graph_metrics import triangle_oracle_sql
+
+    return triangle_oracle_sql(_kg_oracle_ctes(linked=True))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_nodict": _kg_triples_oracle(linked=False),
         "kg_triples_linked": _kg_triples_oracle(linked=True),
         "kg_coverage_by_url": _kg_coverage_oracle(),
+        "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
