@@ -923,6 +923,33 @@ def _q_pages_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATE_ARGS = dict(
+    min_tokens=30, max_tokens=100_000, max_repetition_pct=60,
+    langs=["en", "zh", "de", "fr"], sample_k=40,
+)
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel (length/repetition/lang gates -> exact
+    dedup -> stratified sample, datapipe/curate.py) — final selection,
+    oracle-checked end to end."""
+    from graphgen_spark.datapipe.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    curated, _ = curate_corpus(docs, **_CURATE_ARGS)
+    return curated.orderBy("lang", "sample_rank")
+
+
+def _q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage rejection counts for the same curation run (the audit
+    artifact a curation pass reports) — pure bigints, oracle-checked."""
+    from graphgen_spark.datapipe.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, funnel = curate_corpus(docs, **_CURATE_ARGS)
+    return funnel.orderBy("stage_idx")
+
+
 def _q_qa_eval_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated evaluator metrics (the qa_eval_metrics SHAPE) over an
     SQL-expressible QA frame, hash-proof via per-row integer micros.
@@ -987,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_eval_metrics": _q_qa_eval_metrics,
         "qa_eval_metrics_agg": _q_qa_eval_metrics_agg,
         "doc_sample_stratified": _q_doc_sample_stratified,
+        "corpus_curation": _q_corpus_curation,
+        "corpus_curation_funnel": _q_corpus_curation_funnel,
         "doc_sample_budget": _q_doc_sample_budget,
         "pages_host_cap": _q_pages_host_cap,
         "rephrase_docs": _q_rephrase_docs,
@@ -1218,6 +1247,12 @@ def _kg_coverage_oracle() -> str:
     """
 
 
+def _curate_oracles() -> tuple[str, str]:
+    from graphgen_spark.datapipe.curate import curate_oracle_sql
+
+    return curate_oracle_sql("documents", **_CURATE_ARGS)
+
+
 def _kg_pagerank_oracle() -> str:
     from graphgen_spark.operators.graph_metrics import pagerank_oracle_sql
 
@@ -1240,6 +1275,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
+        "corpus_curation": _curate_oracles()[0],
+        "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """
             SELECT doc_id, lang, rn AS sample_rank FROM (
                 SELECT doc_id, lang,
