@@ -776,8 +776,26 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs, oracle-checked end to end:
+    the DuckDB side replays the md5-prefix gram hashes, the exact-int64
+    signature recurrence (coefficients inlined from the seed), band
+    buckets, candidate join, and integer Jaccard (datapipe/dedup.py).
+    Only the CC grouping on top stays rows-only (minhash_dedup_groups)."""
+    from graphgen_spark.datapipe.dedup import minhash_verified_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        minhash_verified_pairs(docs, num_perm=64, bands=16,
+                               threshold=0.5)
+        .orderBy("a", "b")
+    )
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup groups (rows-only; minhash not in SQL)."""
+    """MinHash-LSH near-dup groups (rows-only: the CC grouping is the
+    one non-SQL stage; the pair stage is oracle-checked by
+    minhash_verified_pairs)."""
     from graphgen_spark.datapipe.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1023,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_by_lang": _q_doc_quality,
         "embedding_centroids": _q_embedding_centroids,
         "embedding_topk": _q_embedding_topk,
+        "minhash_verified_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
@@ -1247,6 +1266,14 @@ def _kg_coverage_oracle() -> str:
     """
 
 
+def _minhash_pairs_oracle() -> str:
+    from graphgen_spark.datapipe.dedup import minhash_pairs_oracle_sql
+
+    return minhash_pairs_oracle_sql(
+        "documents", num_perm=64, bands=16, threshold=0.5
+    )
+
+
 def _curate_oracles() -> tuple[str, str]:
     from graphgen_spark.datapipe.curate import curate_oracle_sql
 
@@ -1275,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
+        "minhash_verified_pairs": _minhash_pairs_oracle(),
         "corpus_curation": _curate_oracles()[0],
         "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """

@@ -128,12 +128,19 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------- MinHash/LSH
 
 _MERSENNE = (1 << 61) - 1
+_COEF_MAX = 1 << 31  # keep h(32b) * a(31b) + b(31b) inside int64
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    """Permutation coefficients, drawn small enough that the whole
+    sig computation (h*a + b) mod p stays in EXACT signed-64 range:
+    h < 2^32 (md5 prefix), a,b < 2^31, so h*a + b < 2^63.  No wrapping
+    arithmetic anywhere — the same recurrence evaluated in any engine
+    (numpy int64, DuckDB BIGINT) yields identical signatures, which is
+    what makes the minhash pair table SQL-oracle-checkable."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, _COEF_MAX, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _COEF_MAX, size=num_perm, dtype=np.int64)
     return a, b
 
 
@@ -153,7 +160,7 @@ def minhash_signatures(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
 
         for pdf in batches:
             rows = []
@@ -163,33 +170,43 @@ def minhash_signatures(
                     " ".join(toks[i : i + n])
                     for i in range(max(len(toks) - n + 1, 1))
                 }
+                # 32-bit md5 prefix: engine-portable (DuckDB:
+                # ('0x'||substr(md5(g),1,8))::BIGINT), unlike crc32
                 hv = np.fromiter(
-                    (zlib.crc32(g.encode()) for g in grams),
-                    dtype=np.uint64, count=len(grams),
+                    (
+                        int.from_bytes(
+                            hashlib.md5(g.encode()).digest()[:4], "big"
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.int64, count=len(grams),
                 )
-                # sig_j = min_i (a_j * h_i + b_j) mod p
+                # sig_j = min_i (a_j * h_i + b_j) mod p — exact int64
                 sig = (
                     (hv[:, None] * a_coef[None, :] + b_coef[None, :])
                     % _MERSENNE
                 ).min(axis=0)
-                rows.append((int(did), sig.astype(np.int64).tolist()))
+                rows.append((int(did), sig.tolist()))
             yield pd.DataFrame(rows, columns=["doc_id", "sig"])
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
-def minhash_lsh_dedup(
+def minhash_verified_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_perm: int = 64, bands: int = 16,
     threshold: float = 0.8, seed: int = 42,
 ) -> DataFrame:
-    """Full near-dup pipeline: signatures -> band buckets -> candidate
-    pairs -> exact shingle-Jaccard verification -> CC grouping.
+    """Signatures -> band buckets -> candidate pairs -> exact
+    shingle-Jaccard verification.  Returns (a, b, jaccard_micro) with
+    jaccard_micro = (1e6 * |A∩B|) DIV |A∪B| and the threshold applied
+    as an exact integer cross-multiplication — the whole stage is
+    engine-portable and hash-matches a DuckDB oracle (the grouping
+    that follows in minhash_lsh_dedup is the only non-SQL part).
 
-    Returns (doc_id, group_id, keep).  Scale shape: the only joins are
-    (bucket self-join) and (pair verification vs the shingle postings);
-    both are hash joins on bounded keys.
-    """
+    Scale shape: the only joins are (bucket self-join) and (pair
+    verification vs the shingle postings); both are hash joins on
+    bounded keys — candidate generation is linear in corpus size."""
     rows_per_band = num_perm // bands
     # both sides of the bucket self-join scan the signatures — persist
     # so the Python MinHash hop runs once, not twice
@@ -243,17 +260,124 @@ def minhash_lsh_dedup(
         candidates.join(sha, "a").join(shb, ["b", "shingle"])
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
     )
-    verified = (
+    thr_micro = int(round(threshold * 1_000_000))
+    return (
         common.join(sizes.select(F.col("doc_id").alias("a"),
                                  F.col("sz").alias("sz_a")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"),
                            F.col("sz").alias("sz_b")), "b")
         .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            "uni", F.col("sz_a") + F.col("sz_b") - F.col("common")
         )
-        .where(F.col("jaccard") >= threshold)
+        # integer cross-multiplied threshold: no float ever compared
+        .where(F.col("common") * 1_000_000 >= thr_micro * F.col("uni"))
+        .select(
+            "a", "b",
+            F.expr("(1000000 * common) div uni")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+def minhash_pairs_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, num_perm: int = 64,
+    bands: int = 16, threshold: float = 0.8, seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing minhash_verified_pairs end to end:
+    gram sets, md5-prefix hashes, the (h*a+b) mod p signature
+    recurrence (coefficients inlined as VALUES — deterministic from
+    the seed), band buckets, candidate join, exact integer Jaccard.
+    Assumes ASCII-whitespace text (Python str.split vs regex \\s+
+    agree), which holds for the synthetic corpora."""
+    a_coef, b_coef = _minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    thr_micro = int(round(threshold * 1_000_000))
+    perm_rows = ", ".join(
+        f"({j}, {int(a_coef[j])}, {int(b_coef[j])})"
+        for j in range(num_perm)
+    )
+    return rf"""
+        WITH perms(j, pa, pb) AS (VALUES {perm_rows}),
+        t AS (
+            SELECT {id_col} AS doc_id,
+                   regexp_split_to_array(trim({text_col}), '\s+')
+                       AS toks
+            FROM {table}
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       1, greatest(len(toks) - {n} + 1, 1))) AS i
+            FROM t
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i:i + {n} - 1], ' ') AS gram
+            FROM idx
+        ),
+        hv AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+            FROM grams
+        ),
+        sig AS (
+            SELECT doc_id, j,
+                   min((h * pa + pb) % {_MERSENNE}) AS sv
+            FROM hv CROSS JOIN perms
+            GROUP BY doc_id, j
+        ),
+        bandkey AS (
+            SELECT doc_id, j // {rows_per_band} AS band,
+                   string_agg(sv::VARCHAR, ',' ORDER BY j) AS bucket
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bandkey x
+            JOIN bandkey y ON x.band = y.band
+                AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        sh AS (
+            SELECT doc_id, gram FROM grams WHERE len(gram) > 0
+        ),
+        sz AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ),
+        com AS (
+            SELECT c.a, c.b, count(*) AS common
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a
+            JOIN sh sb ON sb.doc_id = c.b AND sb.gram = sa.gram
+            GROUP BY c.a, c.b
+        ),
+        scored AS (
+            SELECT com.a, com.b, com.common,
+                   za.sz + zb.sz - com.common AS uni
+            FROM com
+            JOIN sz za ON za.doc_id = com.a
+            JOIN sz zb ON zb.doc_id = com.b
+        )
+        SELECT a, b,
+               CAST((1000000 * common) // uni AS BIGINT)
+                   AS jaccard_micro
+        FROM scored
+        WHERE 1000000 * common >= {thr_micro} * uni
+        ORDER BY a, b
+    """
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_perm: int = 64, bands: int = 16,
+    threshold: float = 0.8, seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash_verified_pairs -> CC grouping.
+
+    Returns (doc_id, group_id, keep)."""
+    verified = minhash_verified_pairs(
+        docs, text_col, id_col, n, num_perm, bands, threshold, seed
     )
 
     # group verified pairs into components; keep = NUMERIC min doc_id.
