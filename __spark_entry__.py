@@ -792,6 +792,20 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs, oracle-checked end to end: the
+    DuckDB side replays the md5-prefix token hashes, per-bit majority
+    votes, band blocking, and bit_count(xor) Hamming verification
+    (datapipe/dedup.py simhash_pairs_oracle_sql)."""
+    from graphgen_spark.datapipe.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        simhash_dup_pairs(docs, max_hamming=3, bands=4)
+        .orderBy("a", "b")
+    )
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup groups (rows-only: the CC grouping is the
     one non-SQL stage; the pair stage is oracle-checked by
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "embedding_topk": _q_embedding_topk,
         "minhash_verified_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
@@ -1266,6 +1281,14 @@ def _kg_coverage_oracle() -> str:
     """
 
 
+def _simhash_pairs_oracle() -> str:
+    from graphgen_spark.datapipe.dedup import simhash_pairs_oracle_sql
+
+    return simhash_pairs_oracle_sql(
+        "documents", max_hamming=3, bands=4
+    )
+
+
 def _minhash_pairs_oracle() -> str:
     from graphgen_spark.datapipe.dedup import minhash_pairs_oracle_sql
 
@@ -1303,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "corpus_curation": _curate_oracles()[0],
         "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """

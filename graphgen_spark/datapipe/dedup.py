@@ -418,7 +418,10 @@ def simhash_signatures(
     (parity-tested):
 
     - tokens deduplicated per Arrow batch via ``pd.factorize`` —
-      blake2b runs once per DISTINCT token, not per occurrence
+      the token hash runs once per DISTINCT token, not per occurrence
+      (md5 8-byte prefix, big-endian — engine-portable: DuckDB
+      reproduces it as ('0x'||substr(md5(tok),1,16))::UBIGINT, which
+      is what makes simhash_dup_pairs SQL-oracle-checkable)
     - one ``np.unpackbits`` turns all occurrence hashes into an
       (n_occurrences, 64) uint8 bit matrix (column i == (h >> i) & 1)
     - per doc, the vote is a single segment sum of ones; bit i of the
@@ -440,7 +443,7 @@ def simhash_signatures(
 
         def h64(tok: str) -> int:
             return int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                hashlib.md5(tok.encode()).digest()[:8], "big"
             )
 
         for pdf in batches:
@@ -525,6 +528,76 @@ def simhash_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4,
+) -> str:
+    """DuckDB SQL reproducing simhash_dup_pairs end to end: md5-prefix
+    token hashes, per-bit majority votes (2*ones > n), banded blocking,
+    exact bit_count(xor) Hamming verification.  Signature arithmetic
+    runs in UBIGINT and is converted to signed int64 at the end to
+    match the Spark LongType column."""
+    width = 64 // bands
+    return rf"""
+        WITH t AS (
+            SELECT {id_col} AS doc_id,
+                   regexp_split_to_array(trim({text_col}), '\s+')
+                       AS toks
+            FROM {table}
+        ),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok FROM t
+        ),
+        occ AS (
+            -- str.split() never yields '' tokens; regexp_split does
+            -- for blank text — drop them to mirror the kernel
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM tok WHERE tok <> ''
+        ),
+        n_tok AS (
+            SELECT doc_id, count(*) AS n FROM occ GROUP BY doc_id
+        ),
+        votes AS (
+            SELECT o.doc_id, b.b,
+                   sum(CASE WHEN (o.h >> b.b) & 1 = 1
+                            THEN 1 ELSE 0 END) AS ones
+            FROM occ o
+            CROSS JOIN (
+                SELECT unnest(generate_series(0, 63)) AS b
+            ) b
+            GROUP BY o.doc_id, b.b
+        ),
+        sigs AS (
+            SELECT v.doc_id,
+                   sum(CASE WHEN 2 * v.ones > n.n
+                            THEN (1::UBIGINT << v.b)
+                            ELSE 0::UBIGINT END) AS sig_u
+            FROM votes v JOIN n_tok n ON v.doc_id = n.doc_id
+            GROUP BY v.doc_id
+        ),
+        banded AS (
+            SELECT doc_id, sig_u, b.band,
+                   (sig_u >> (b.band * {width}))
+                       & {(1 << width) - 1} AS key
+            FROM sigs
+            CROSS JOIN (
+                SELECT unnest(generate_series(0, {bands - 1})) AS band
+            ) b
+        ),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.sig_u, y.sig_u)) AS hamming
+            FROM banded x
+            JOIN banded y ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id
+        )
+        SELECT a, b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= {max_hamming}
+        ORDER BY a, b
+    """
 
 
 # --------------------------------------------------- embedding near-dup

@@ -260,9 +260,7 @@ class TestSimHashVectorizedParity:
             votes = [0] * 64
             for tok in str(text or "").split():
                 hv = int.from_bytes(
-                    hashlib.blake2b(
-                        tok.encode(), digest_size=8
-                    ).digest(), "big",
+                    hashlib.md5(tok.encode()).digest()[:8], "big",
                 )
                 for i in range(64):
                     votes[i] += 1 if (hv >> i) & 1 else -1
