@@ -108,6 +108,30 @@ def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token budgets under BOTH tokenizers (whitespace + the
+    BPE-ish pretokenizer a byte-pair vocab would merge within) — the
+    corpus-budget audit table, all bigints, oracle-checked."""
+    from graphgen_spark.datapipe.textstats import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("ws", whitespace_token_count(F.col("text")))
+        .withColumn("bpe", bpe_ish_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.max("bpe").alias("max_doc_bpe"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash: groups with >1 copy.  The corpus
     has no exact dups, so dedup runs over a derived frame that provably
@@ -1036,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "doc_token_stats": _q_doc_token_stats,
+        "doc_bpe_token_stats": _q_doc_bpe_token_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "events_windows": _q_events_windows,
         "filter_range": _q_filter_range,
@@ -1281,6 +1306,27 @@ def _kg_coverage_oracle() -> str:
     """
 
 
+def _doc_bpe_token_stats_oracle() -> str:
+    from graphgen_spark.datapipe.textstats import BPE_ISH_PATTERN
+
+    assert "'" not in BPE_ISH_PATTERN.replace(
+        "'(?:[sdmt]|ll|ve|re)", ""
+    )
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return rf"""
+        WITH t AS (
+            SELECT lang,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+                   len(regexp_extract_all(text, '{pat}')) AS bpe
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+               max(bpe) AS max_doc_bpe
+        FROM t GROUP BY lang ORDER BY lang
+    """
+
+
 def _simhash_pairs_oracle() -> str:
     from graphgen_spark.datapipe.dedup import simhash_pairs_oracle_sql
 
@@ -1393,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
             ORDER BY lang
         """,
+        "doc_bpe_token_stats": _doc_bpe_token_stats_oracle(),
         "exact_dup_groups": """
             WITH aug AS (
                 SELECT doc_id, text FROM documents

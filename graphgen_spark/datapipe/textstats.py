@@ -37,6 +37,22 @@ def whitespace_token_count(text_col: Column) -> Column:
     return F.size(F.split(F.trim(text_col), r"\s+"))
 
 
+# GPT-2-style pretokenizer classes, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): no lookarounds, no \p classes —
+# contractions, letter runs, digit runs, non-space punctuation runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Token-budget estimator: counts BPE-ish pretokens (the unit a
+    byte-pair tokenizer would merge within).  A native regexp over the
+    text — engine-portable, so corpus token budgets computed here and
+    by a DuckDB/warehouse audit agree exactly."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
+    )
+
+
 def with_quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """+ (n_tokens, mean_token_len, punct_ratio, stopword_ratio,
     repetition_ratio, quality_score) — all native expressions."""

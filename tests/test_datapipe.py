@@ -192,6 +192,30 @@ class TestTextStats:
         out = dup_docs.select(mtld_udf("text").alias("m")).collect()
         assert all(r["m"] >= 0 for r in out)
 
+    def test_bpe_ish_token_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphgen_spark.datapipe.textstats import (
+            bpe_ish_token_count,
+        )
+
+        rows = [
+            # "don't stop" -> don / 't / stop = 3
+            (0, "don't stop"),
+            # word + digits + punct run split apart
+            (1, "abc123!?x"),   # abc / 123 / !? / x = 4
+            (2, ""),            # 0
+            (3, "hello, world"),  # hello / , / world = 3
+        ]
+        df = spark.createDataFrame(rows, ["i", "text"])
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", bpe_ish_token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got == {0: 3, 1: 4, 2: 0, 3: 3}
+
 
 class TestMultimodal:
     def test_feature_extraction_shape(self, spark):
