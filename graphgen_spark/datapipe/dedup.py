@@ -162,31 +162,47 @@ def minhash_signatures(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        md5 = hashlib.md5
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            gram_lists = []
+            for text in pdf[text_col]:
                 toks = str(text or "").split()
-                grams = {
-                    " ".join(toks[i : i + n])
-                    for i in range(max(len(toks) - n + 1, 1))
-                }
-                # 32-bit md5 prefix: engine-portable (DuckDB:
-                # ('0x'||substr(md5(g),1,8))::BIGINT), unlike crc32
-                hv = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(g.encode()).digest()[:4], "big"
-                        )
-                        for g in grams
-                    ),
-                    dtype=np.int64, count=len(grams),
+                gram_lists.append(
+                    list(
+                        {
+                            " ".join(toks[i : i + n])
+                            for i in range(max(len(toks) - n + 1, 1))
+                        }
+                    )
                 )
-                # sig_j = min_i (a_j * h_i + b_j) mod p — exact int64
-                sig = (
-                    (hv[:, None] * a_coef[None, :] + b_coef[None, :])
-                    % _MERSENNE
-                ).min(axis=0)
-                rows.append((int(did), sig.tolist()))
+            # 32-bit md5 prefix: engine-portable (DuckDB:
+            # ('0x'||substr(md5(g),1,8))::BIGINT), unlike crc32.
+            # Dedup-corpus batches share most grams across docs, so
+            # hash each DISTINCT gram once per batch (factorize), not
+            # per occurrence — same trick as the SimHash kernel.
+            flat = [g for gl in gram_lists for g in gl]
+            rows = []
+            if flat:
+                inv, uniq = pd.factorize(np.array(flat, dtype=object))
+                uniq_h = np.fromiter(
+                    (
+                        int.from_bytes(md5(g.encode()).digest()[:4],
+                                       "big")
+                        for g in uniq
+                    ),
+                    dtype=np.int64, count=len(uniq),
+                )
+                hv_all = uniq_h[inv]
+                off = 0
+                for did, gl in zip(pdf[id_col], gram_lists):
+                    hv = hv_all[off : off + len(gl)]
+                    off += len(gl)
+                    # sig_j = min_i (a_j*h_i + b_j) mod p — exact int64
+                    sig = (
+                        (hv[:, None] * a_coef[None, :]
+                         + b_coef[None, :]) % _MERSENNE
+                    ).min(axis=0)
+                    rows.append((int(did), sig.tolist()))
             yield pd.DataFrame(rows, columns=["doc_id", "sig"])
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
