@@ -217,7 +217,17 @@ def run_kg_pipeline(
         docs = docs.withColumn("_orig", F.col("text"))
 
     # repartition by url hash: extraction cost is ~uniform per doc and
-    # this keeps hot-host pages from skewing a single input split
+    # this keeps hot-host pages from skewing a single input split.
+    # Default is adaptive: a small parquet input arrives as ONE split
+    # (a 5k-page suite dir is a single row group), which would run the
+    # whole Python extraction in one task — widen to the session's
+    # parallelism.  Inputs already wider than the core count (any real
+    # crawl dump) are left alone: no shuffle of raw html at scale.
+    if extraction_partitions is None:
+        cur = pages.rdd.getNumPartitions()
+        par = spark.sparkContext.defaultParallelism
+        if cur < par:
+            extraction_partitions = par
     if extraction_partitions:
         docs = docs.repartition(extraction_partitions, F.crc32("url"))
         pages = pages.repartition(extraction_partitions, F.crc32("url"))
