@@ -144,11 +144,14 @@ def connected_components_long(
         .distinct()
     )
     e = _canonical_edges(edges)
-    n_edges = e.count()
-    if n_edges <= driver_max_edges:
+    # probe with ONE job: pull at most gate+1 edges; a full count runs
+    # only when the graph is actually over the gate (big path, where
+    # the count is amortized by the fixpoint anyway)
+    probe = e.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
         # small graph: local union-find (same min-id labels), one job
         labels = _driver_union_find(
-            [(r["src"], r["dst"]) for r in e.collect()]
+            [(r["src"], r["dst"]) for r in probe]
         )
         spark = edges.sparkSession
         lab_df = (
@@ -164,7 +167,7 @@ def connected_components_long(
             )
         )
     if partitions is None:
-        partitions = max(2, min(256, n_edges // 500_000 + 2))
+        partitions = max(2, min(256, e.count() // 500_000 + 2))
     e = e.repartition(partitions, "src").localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
@@ -196,6 +199,7 @@ def connected_components(
     max_iter: int = 25,
     partitions: int | None = None,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """String-keyed wrapper: edges(src_col, dst_col string) ->
     (name string, component int64, component_name string) where
@@ -205,8 +209,11 @@ def connected_components(
     The input is checkpointed once: the name table, the hashed edge
     list, and the fixpoint all branch from it, and the upstream plan
     (candidate generation + verification in the dedup callers) must
-    not re-execute per branch."""
-    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    not re-execute per branch.  ``assume_materialized=True`` skips
+    that checkpoint when the caller already landed the edge table."""
+    edges = edges.select(src_col, dst_col)
+    if not assume_materialized:
+        edges = edges.localCheckpoint(eager=True)
     ids = (
         edges.select(F.col(src_col).alias("name"))
         .union(edges.select(F.col(dst_col).alias("name")))

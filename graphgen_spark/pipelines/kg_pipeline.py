@@ -44,7 +44,7 @@ def alias_labels(alias_dict: DataFrame) -> DataFrame:
             "tgt_id"
         ),
     ).localCheckpoint(eager=True)  # CC references its input repeatedly
-    labels = connected_components(cc_edges)
+    labels = connected_components(cc_edges, assume_materialized=True)
     # representative = min canonical_name inside the component (the
     # \x01 prefix sorts canonical sentinels first, and among them the
     # lexicographically-min canonical name wins -> deterministic)
