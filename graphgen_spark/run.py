@@ -246,6 +246,124 @@ def _op_search(spark, deps, params):
     )
 
 
+def _op_dedup(spark, deps, params):
+    """Beyond-reference: corpus dedup as a DAG node.  ``method`` in
+    {exact, ngram, simhash, minhash}; text/id columns default to the
+    reader schema (content, _trace_id).  minhash needs integral ids —
+    non-numeric ids are hashed to a derived numeric id first."""
+    from graphgen_spark.datapipe import dedup as D
+
+    (docs,) = deps
+    method = params.get("method", "exact")
+    text_col = params.get("text_col", "content")
+    id_col = params.get("id_col", "_trace_id")
+    if method == "exact":
+        return D.exact_dedup(docs, text_col=text_col, id_col=id_col)
+    if method == "ngram":
+        return D.ngram_jaccard_pairs(
+            docs, text_col=text_col, id_col=id_col,
+            n=params.get("n", 3),
+            threshold=params.get("threshold", 0.8),
+        )
+    if method == "simhash":
+        return D.simhash_dup_pairs(
+            docs, text_col=text_col, id_col=id_col,
+            max_hamming=params.get("max_hamming", 3),
+        )
+    if method == "minhash":
+        from pyspark.sql import types as T
+
+        numeric = isinstance(
+            docs.schema[id_col].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+        if numeric:
+            return D.minhash_lsh_dedup(
+                docs, text_col=text_col, id_col=id_col,
+                threshold=params.get("threshold", 0.8),
+            )
+        hashed = docs.withColumn("_did", F.xxhash64(F.col(id_col)))
+        out = D.minhash_lsh_dedup(
+            hashed, text_col=text_col, id_col="_did",
+            threshold=params.get("threshold", 0.8),
+        )
+        back = hashed.select(
+            F.col("_did").alias("doc_id"), F.col(id_col).alias("_orig")
+        )
+        return (
+            out.join(back, "doc_id")
+            .select(F.col("_orig").alias(id_col), "group_id", "keep")
+        )
+    raise ValueError(f"unknown dedup method: {method}")
+
+
+def _op_sample(spark, deps, params):
+    """Beyond-reference: deterministic corpus sampling as a DAG node.
+    ``method`` in {stratified, token_budget, host_cap}."""
+    from graphgen_spark.datapipe import sampling as S
+
+    (docs,) = deps
+    method = params.get("method", "stratified")
+    if method == "stratified":
+        return S.stratified_take(
+            docs, k=params.get("k", 100),
+            stratum_col=params.get("stratum_col", "lang"),
+            id_col=params.get("id_col", "doc_id"),
+        )
+    if method == "token_budget":
+        return S.token_budget_take(
+            docs, budget_tokens=params.get("budget_tokens", 10_000),
+            stratum_col=params.get("stratum_col", "lang"),
+            id_col=params.get("id_col", "doc_id"),
+            text_col=params.get("text_col", "text"),
+        )
+    if method == "host_cap":
+        return S.per_host_cap(
+            docs, k=params.get("k", 10),
+            url_col=params.get("url_col", "url"),
+        )
+    raise ValueError(f"unknown sample method: {method}")
+
+
+def _op_curate(spark, deps, params):
+    """Beyond-reference: the composed curation funnel as a DAG node;
+    returns {curated, funnel}."""
+    from graphgen_spark.datapipe.curate import curate_corpus
+
+    (docs,) = deps
+    curated, funnel = curate_corpus(
+        docs,
+        min_tokens=params.get("min_tokens", 20),
+        max_tokens=params.get("max_tokens", 1_000_000),
+        max_repetition_pct=params.get("max_repetition_pct", 60),
+        langs=params.get("langs"),
+        sample_k=params.get("sample_k"),
+        text_col=params.get("text_col", "text"),
+        id_col=params.get("id_col", "doc_id"),
+        lang_col=params.get("lang_col", "lang"),
+    )
+    return {"curated": curated, "funnel": funnel}
+
+
+def _op_graph_metrics(spark, deps, params):
+    """Beyond-reference: whole-graph metrics over a built KG dict.
+    ``metric`` in {pagerank, triangles}."""
+    from graphgen_spark.operators import graph_metrics as G
+
+    (kg,) = deps
+    metric = params.get("metric", "pagerank")
+    if metric == "pagerank":
+        return G.pagerank_exact(
+            kg["edges"], iterations=params.get("iterations", 5),
+            src_col="src_id", dst_col="tgt_id",
+        )
+    if metric == "triangles":
+        return G.triangle_counts(
+            kg["edges"], src_col="src_id", dst_col="tgt_id"
+        )
+    raise ValueError(f"unknown graph metric: {metric}")
+
+
 OPERATORS = {
     "read": _op_read,
     "chunk": _op_chunk,
@@ -259,6 +377,11 @@ OPERATORS = {
     "evaluate": _op_evaluate,
     "filter": _op_filter,
     "search": _op_search,
+    # beyond the reference registry: training-data pipeline ops
+    "dedup": _op_dedup,
+    "sample": _op_sample,
+    "curate": _op_curate,
+    "graph_metrics": _op_graph_metrics,
 }
 
 

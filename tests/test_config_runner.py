@@ -70,11 +70,14 @@ class TestConfigRunner:
 
     def test_all_reference_ops_registered(self):
         # graphgen/operators/__init__.py:14-27 registry parity
-        assert set(OPERATORS) == {
+        assert set(OPERATORS) >= {
             "read", "chunk", "build_kg", "quiz", "judge", "extract",
             "partition", "generate", "evaluate", "rephrase", "filter",
             "search",
         }
+        # beyond-reference training-data pipeline ops
+        assert {"dedup", "sample", "curate",
+                "graph_metrics"} <= set(OPERATORS)
 
     def test_toposort_cycle_and_unknown_dep(self):
         with pytest.raises(ValueError, match="cycle"):
@@ -115,6 +118,71 @@ class TestConfigRunner:
         assert all(
             0 <= r["entity_accuracy"]["overall_score"] <= 1 for r in rows
         )
+
+
+class TestDatapipeOps:
+    """The beyond-reference registry ops (dedup / sample / curate /
+    graph_metrics) run as DAG nodes."""
+
+    def test_dedup_sample_curate_dag(self, spark, config):
+        cfg = {
+            "nodes": [
+                config["nodes"][0],  # read
+                {"id": "dup", "op_name": "dedup",
+                 "dependencies": ["read_files"],
+                 "params": {"method": "exact"}},
+                {"id": "sim", "op_name": "dedup",
+                 "dependencies": ["read_files"],
+                 "params": {"method": "simhash", "max_hamming": 10}},
+                {"id": "mh", "op_name": "dedup",
+                 "dependencies": ["read_files"],
+                 "params": {"method": "minhash", "threshold": 0.5}},
+            ]
+        }
+        outputs = run_config(spark, cfg)
+        dup = outputs["dup"].collect()
+        assert {r["_trace_id"] for r in dup} and all(
+            r["keep"] for r in dup
+        )  # two distinct docs -> both kept
+        assert set(outputs["sim"].columns) == {"a", "b", "hamming"}
+        mh = outputs["mh"].collect()
+        # string trace ids hashed to numeric and mapped back
+        assert {r["_trace_id"] for r in mh} == {r["_trace_id"]
+                                               for r in dup}
+
+    def test_curate_and_sample_nodes(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} alpha beta gamma delta epsilon", "en")
+             for i in range(20)],
+            "doc_id long, text string, lang string",
+        )
+        from graphgen_spark.run import OPERATORS
+
+        cur = OPERATORS["curate"](spark, [docs], {
+            "min_tokens": 3, "sample_k": 5,
+        })
+        assert cur["curated"].count() == 5
+        f = {r["stage"]: r["n_docs"] for r in cur["funnel"].collect()}
+        assert f["kept"] == 5 and f["sampled_out"] == 15
+        samp = OPERATORS["sample"](spark, [docs], {
+            "method": "stratified", "k": 7,
+        })
+        assert samp.count() == 7
+
+    def test_graph_metrics_node(self, spark, config):
+        cfg = {"nodes": config["nodes"][:3] + [
+            {"id": "pr", "op_name": "graph_metrics",
+             "dependencies": ["build_kg"],
+             "params": {"metric": "pagerank", "iterations": 3}},
+            {"id": "tri", "op_name": "graph_metrics",
+             "dependencies": ["build_kg"],
+             "params": {"metric": "triangles"}},
+        ]}
+        outputs = run_config(spark, cfg)
+        pr = outputs["pr"].collect()
+        assert pr and all(r["rank_micro"] > 0 for r in pr)
+        tri = outputs["tri"].collect()
+        assert tri and all(r["n_triangles"] >= 0 for r in tri)
 
 
 class TestReferenceYamlVerbatim:
