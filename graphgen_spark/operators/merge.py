@@ -67,7 +67,9 @@ def _merge_capped(partials_col: str, cap: int = MAX_MERGED_VALUES):
 @pandas_udf(T.StringType())
 def summarize_if_long_udf(description: pd.Series) -> pd.Series:
     """Deterministic stand-in for the reference's LLM summary gate
-    (>=200 tokens → summarize the first 200 tokens)."""
+    (>=200 tokens → summarize the first 200 tokens).  Kept as the
+    Python-kernel reference implementation; the hot path uses the
+    native-expression equivalent below (parity-tested)."""
     from graphgen_spark.textkit import count_tokens, truncate_tokens
 
     def gate(desc: str) -> str:
@@ -85,6 +87,31 @@ def _tok_len_udf(text: pd.Series) -> pd.Series:
     from graphgen_spark.textkit import count_tokens
 
     return text.map(lambda t: count_tokens(t or "")).astype("int32")
+
+
+# Native (whole-stage-codegen) summary gate.  The textkit token regex
+# is Java-compatible; (?U) makes Java's \s match unicode whitespace
+# like Python's.  Truncation to the first K tokens = the prefix ending
+# at the K-th token's end; between tokens only whitespace can occur
+# (any non-ws char IS a token), so a possessive {K} repetition of
+# (\s* token) reproduces text[:spans[K-1][1]] exactly.  Replacing the
+# two chained pandas UDFs (summarize + count) with these expressions
+# removed a ~19 s ArrowEvalPython hop from the sf0.1 edge finalize.
+_TOK_JAVA = r"(?U)[A-Za-z0-9_]+|[一-鿿]|[^\sA-Za-z0-9_一-鿿]"
+_TRUNC_JAVA = (
+    r"(?U)^(?:\s*+(?:[A-Za-z0-9_]++|[一-鿿]|[^\sA-Za-z0-9_一-鿿]))"
+    + "{%d}" % MAX_SUMMARY_TOKENS
+)
+
+
+def _gated_description(joined):
+    """(description, length) native expressions for a joined-desc col."""
+    n_tok = F.size(F.regexp_extract_all(joined, F.lit(_TOK_JAVA), 0))
+    desc = F.when(n_tok < MAX_SUMMARY_TOKENS, joined).otherwise(
+        F.regexp_extract(joined, _TRUNC_JAVA, 0)
+    )
+    length = F.least(n_tok, F.lit(MAX_SUMMARY_TOKENS)).cast("int")
+    return desc, length
 
 
 def _capped_aggs(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -139,13 +166,11 @@ def finalize_nodes(
 ) -> DataFrame:
     """Mergeable node state -> final nodes table (summary gate +
     token length + majority type)."""
+    desc, length = _gated_description(F.array_join("descs", SEP))
     return (
         node_aggs.join(majority_type(type_counts), "entity_name")
-        .withColumn(
-            "description",
-            summarize_if_long_udf(F.array_join("descs", SEP)),
-        )
-        .withColumn("length", _tok_len_udf("description"))
+        .withColumn("description", desc)
+        .withColumn("length", length)
         .select(
             "entity_name", "entity_type", "description",
             F.col("srcs").alias("source_ids"), "length", "n_mentions",
@@ -158,16 +183,14 @@ def finalize_edges(edge_aggs: DataFrame, nodes: DataFrame) -> DataFrame:
     exist in nodes (left-semi joins, broadcast by AQE when the node
     side is small)."""
     node_names = nodes.select(F.col("entity_name").alias("_nn"))
+    desc, length = _gated_description(F.array_join("descs", SEP))
     return (
         edge_aggs.join(
             node_names, edge_aggs.src_id == node_names._nn, "left_semi"
         )
         .join(node_names, edge_aggs.tgt_id == node_names._nn, "left_semi")
-        .withColumn(
-            "description",
-            summarize_if_long_udf(F.array_join("descs", SEP)),
-        )
-        .withColumn("length", _tok_len_udf("description"))
+        .withColumn("description", desc)
+        .withColumn("length", length)
         .select(
             "src_id", "tgt_id", "description",
             F.col("srcs").alias("source_ids"), "length", "n_mentions",

@@ -253,6 +253,67 @@ class TestMergeCapParity:
         assert self._run(spark, descs) == self._expected(descs)
 
 
+class TestNativeSummaryGate:
+    """The native-expression summary gate (merge._gated_description)
+    must match the Python kernel (count_tokens/truncate_tokens)
+    byte-for-byte, including unicode whitespace and the exact cap
+    boundary."""
+
+    def test_parity_vs_python_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphgen_spark.operators.merge import (
+            MAX_SUMMARY_TOKENS,
+            _gated_description,
+        )
+        from graphgen_spark.textkit import count_tokens, truncate_tokens
+
+        cases = [
+            "",
+            "short desc",
+            " ".join(f"tok{i}" for i in range(MAX_SUMMARY_TOKENS - 1)),
+            " ".join(f"tok{i}" for i in range(MAX_SUMMARY_TOKENS)),
+            " ".join(f"tok{i}" for i in range(MAX_SUMMARY_TOKENS + 1)),
+            "!" * 300,
+            "一二三四五" * 100,
+            ("word " * 50 + "一" * 50 + "!?. " * 40) * 3,
+            "a\u00a0b " * 150,  # nbsp: (?U) \\s parity
+            "tab\tsep\nline " * 120,
+            "under_score_9 " * 250,
+            "x<SEP>y " * 120,
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "d string")
+        desc, length = _gated_description(F.col("d"))
+        rows = df.select(
+            "d", desc.alias("desc"), length.alias("len")
+        ).collect()
+        for r in rows:
+            want_n = count_tokens(r["d"])
+            want = (
+                r["d"] if want_n < MAX_SUMMARY_TOKENS
+                else truncate_tokens(r["d"], MAX_SUMMARY_TOKENS)
+            )
+            assert r["desc"] == want, repr(r["d"][:50])
+            assert r["len"] == min(want_n, MAX_SUMMARY_TOKENS)
+
+    def test_no_python_node_in_merge_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from graphgen_spark.operators.merge import merge_nodes
+
+        ents = spark.createDataFrame(
+            [("E", "ORG", "d", "c1")],
+            ["entity_name", "entity_type", "description", "source_id"],
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            merge_nodes(ents).explain("formatted")
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+
 class TestCCHybridPaths:
     """The size-gated driver union-find must produce IDENTICAL labels
     to the distributed large-star/small-star fixpoint."""
