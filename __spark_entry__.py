@@ -21,12 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SYNTH_ENTITIES = 2000
 
+_PAGES_CACHE: dict = {}
+
 
 def _pages_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic pages for a sf dir, session-cached: seven queries
+    scan them, and the synthesis is a Python hop worth running once
+    (the pages table is a static derived asset of the corpus)."""
     from graphgen_spark.synth import pages_from_doc_ids
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pages_from_doc_ids(docs, n_entities=N_SYNTH_ENTITIES)
+    key = (id(spark), sf_dir)
+    if key not in _PAGES_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _PAGES_CACHE[key] = pages_from_doc_ids(
+            docs, n_entities=N_SYNTH_ENTITIES
+        ).localCheckpoint(eager=True)
+    return _PAGES_CACHE[key]
 
 
 def _alias_dict(spark: SparkSession) -> DataFrame:
