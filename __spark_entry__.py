@@ -384,6 +384,25 @@ def _q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_communities_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriplePartitioner communities (one per canonical edge; pure SQL
+    op, reference triple_partitioner.py) — the oracle-checked face of
+    the community surface: DuckDB re-derives community ids and the
+    summary-gated token sums from the regex triple set."""
+    from graphgen_spark.operators.partitioners import triple_partition
+
+    edges = _kg_wholedoc(spark, sf_dir, linked=True)["edges"]
+    return (
+        triple_partition(edges)
+        .select(
+            "community_id",
+            F.col("n_units").cast("int").alias("n_units"),
+            "token_sum",
+        )
+        .orderBy("community_id")
+    )
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer PageRank (5 rounds) over the canonical linked KG
     edges — oracle-checked: the DuckDB side unrolls the identical
@@ -1101,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
+        "kg_communities_triple": _q_kg_communities_triple,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
@@ -1359,6 +1379,30 @@ def _curate_oracles() -> tuple[str, str]:
     return curate_oracle_sql("documents", **_CURATE_ARGS)
 
 
+def _kg_communities_triple_oracle() -> str:
+    from graphgen_spark.textkit import _TOKEN_RE
+
+    tok = _TOKEN_RE.pattern
+    assert "'" not in tok
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   array_to_string(
+                       list_sort(list_distinct(list(pred)))[1:200],
+                       '<SEP>'
+                   ) AS descr
+            FROM triples
+            GROUP BY subj, obj
+        )
+        SELECT subj || '::' || obj AS community_id,
+               CAST(3 AS INT) AS n_units,
+               CAST(least(len(regexp_extract_all(descr, '{tok}')),
+                          200) AS BIGINT) AS token_sum
+        FROM merged
+        ORDER BY community_id
+    """
+
+
 def _kg_pagerank_oracle() -> str:
     from graphgen_spark.operators.graph_metrics import pagerank_oracle_sql
 
@@ -1376,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_nodict": _kg_triples_oracle(linked=False),
         "kg_triples_linked": _kg_triples_oracle(linked=True),
         "kg_coverage_by_url": _kg_coverage_oracle(),
+        "kg_communities_triple": _kg_communities_triple_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
