@@ -845,6 +845,42 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH embedding near-dup pairs, oracle-
+    checked: the DuckDB side inlines the literal plane matrices,
+    re-derives the sign-bit buckets, and verifies cosine at the same
+    x10k rounding as embedding_topk.  Embeddings are double-cast on
+    both sides (float32 kernels differ across engines)."""
+    from graphgen_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # the synthetic embeddings are near-orthogonal (max pairwise
+    # cosine 0.51) — plant provable near-dups: every 10th vector
+    # re-appended under a shifted id with its first coordinate nudged
+    # (cosine ~0.999), mirrored exactly in the oracle
+    pert = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").getItem(0) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return (
+        embedding_neardup_pairs(
+            emb.select("vec_id", "embedding").unionByName(pert),
+            threshold=0.95, n_planes=10, n_tables=3,
+        )
+        .select(
+            "a", "b",
+            F.round(F.col("cosine") * 10000).cast("long")
+            .alias("cosine_x10k"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pairs, oracle-checked end to end: the
     DuckDB side replays the md5-prefix token hashes, per-bit majority
@@ -1111,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "minhash_verified_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
@@ -1357,6 +1394,17 @@ def _doc_bpe_token_stats_oracle() -> str:
     """
 
 
+def _embedding_neardup_oracle() -> str:
+    from graphgen_spark.datapipe.dedup import (
+        embedding_neardup_oracle_sql,
+    )
+
+    return embedding_neardup_oracle_sql(
+        "embeddings", threshold=0.95, n_planes=10, n_tables=3,
+        plant_neardups=True,
+    )
+
+
 def _simhash_pairs_oracle() -> str:
     from graphgen_spark.datapipe.dedup import simhash_pairs_oracle_sql
 
@@ -1428,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        "embedding_neardup_pairs": _embedding_neardup_oracle(),
         "corpus_curation": _curate_oracles()[0],
         "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """

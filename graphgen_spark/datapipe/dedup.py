@@ -616,6 +616,76 @@ def simhash_pairs_oracle_sql(
     """
 
 
+def embedding_neardup_oracle_sql(
+    table: str = "embeddings", vec_col: str = "embedding",
+    id_col: str = "vec_id", threshold: float = 0.95,
+    n_planes: int = 10, n_tables: int = 3, seed: int = 42,
+    dim: int = 64, plant_neardups: bool = False,
+) -> str:
+    """DuckDB SQL reproducing embedding_neardup_pairs: the literal
+    plane matrices (deterministic from the seed) are inlined, buckets
+    re-derived as sign-bit sums, candidates joined per table, cosine
+    verified and emitted at the same x10k integer rounding the topk
+    oracle uses.  Requires the caller to compare against a Spark run
+    over DOUBLE-cast embeddings (float32 kernels differ per engine)."""
+    from graphgen_spark.datapipe.similarity import _planes
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in p)
+            terms.append(
+                f"(CASE WHEN list_inner_product(emb, [{lits}]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    tbls = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        tbls.append(
+            f"SELECT {id_col} AS id, emb, {t} AS tbl, "
+            f"{bucket_expr(planes)} AS bucket FROM dbl"
+        )
+    union = " UNION ALL ".join(tbls)
+    return f"""
+        WITH raw AS (
+            SELECT {id_col},
+                   list_transform({vec_col},
+                                  x -> CAST(x AS DOUBLE)) AS emb
+            FROM {table}
+        ),
+        dbl AS (
+            SELECT {id_col}, emb FROM raw
+            {f'''UNION ALL
+            -- planted near-dups, mirroring the Spark-side derived
+            -- frame: every 10th vector, first coordinate +0.05
+            SELECT {id_col} + 100000 AS {id_col},
+                   list_prepend(emb[1] + 0.05, emb[2:{dim}]) AS emb
+            FROM raw WHERE {id_col} % 10 = 0''' if plant_neardups
+            else ''}
+        ),
+        allb AS ({union}),
+        cand AS (
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM allb x
+            JOIN allb y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                AND x.id < y.id
+        ),
+        scored AS (
+            SELECT c.a, c.b,
+                   list_cosine_similarity(da.emb, db.emb) AS cos_raw
+            FROM cand c
+            JOIN dbl da ON da.{id_col} = c.a
+            JOIN dbl db ON db.{id_col} = c.b
+        )
+        SELECT a, b,
+               CAST(round(cos_raw * 10000) AS BIGINT) AS cosine_x10k
+        FROM scored WHERE cos_raw >= {threshold}
+        ORDER BY a, b
+    """
+
+
 # --------------------------------------------------- embedding near-dup
 
 
