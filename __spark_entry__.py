@@ -845,6 +845,27 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned approximate top-k (single hyperplane table) —
+    oracle-checked: DuckDB re-derives the sign-bit buckets from the
+    inlined plane matrix and ranks the same in-bucket candidates."""
+    from graphgen_spark.datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return (
+        lsh_topk(emb, queries_df, k=3, n_planes=6)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round(F.col("cosine") * 10000).cast("long")
+            .alias("cosine_x10k"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH embedding near-dup pairs, oracle-
     checked: the DuckDB side inlines the literal plane matrices,
@@ -1148,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_lsh_topk": _q_embedding_lsh_topk,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
@@ -1394,6 +1416,14 @@ def _doc_bpe_token_stats_oracle() -> str:
     """
 
 
+def _embedding_lsh_topk_oracle() -> str:
+    from graphgen_spark.datapipe.similarity import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(
+        "embeddings", k=3, n_planes=6, max_query_id=20
+    )
+
+
 def _embedding_neardup_oracle() -> str:
     from graphgen_spark.datapipe.dedup import (
         embedding_neardup_oracle_sql,
@@ -1477,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
+        "embedding_lsh_topk": _embedding_lsh_topk_oracle(),
         "corpus_curation": _curate_oracles()[0],
         "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """

@@ -120,6 +120,48 @@ def lsh_topk(
     )
 
 
+def lsh_topk_oracle_sql(
+    table: str = "embeddings", vec_col: str = "embedding",
+    id_col: str = "vec_id", k: int = 10, n_planes: int = 8,
+    seed: int = 42, dim: int = 64, max_query_id: int = 20,
+) -> str:
+    """DuckDB SQL reproducing lsh_topk for queries with
+    id < max_query_id: inlined plane matrix -> sign-bit buckets ->
+    in-bucket cosine ranking, cosine emitted at x10k rounding."""
+    terms = []
+    for i, p in enumerate(_planes(dim, n_planes, seed)):
+        lits = ", ".join(repr(float(x)) for x in p)
+        terms.append(
+            f"(CASE WHEN list_inner_product(emb, [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH dbl AS (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col},
+                                  x -> CAST(x AS DOUBLE)) AS emb
+            FROM {table}
+        ),
+        b AS (SELECT id, emb, {bucket} AS bucket FROM dbl),
+        scored AS (
+            SELECT q.id AS query_id, c.id AS neighbor_id,
+                   list_cosine_similarity(q.emb, c.emb) AS cos_raw,
+                   row_number() OVER (
+                       PARTITION BY q.id
+                       ORDER BY list_cosine_similarity(q.emb, c.emb)
+                           DESC, c.id ASC
+                   ) AS rank
+            FROM b q JOIN b c ON q.bucket = c.bucket
+                AND q.id < {max_query_id} AND q.id != c.id
+        )
+        SELECT query_id, neighbor_id, rank,
+               CAST(round(cos_raw * 10000) AS BIGINT) AS cosine_x10k
+        FROM scored WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def kmeans_centroids(
     corpus: DataFrame, n_cells: int = 16,
     vec_col: str = "embedding", seed: int = 7, max_iter: int = 10,
