@@ -866,6 +866,31 @@ def _q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic precomputed centroids — the whole
+    search path (assignment, nprobe probing, in-cell ranking)
+    oracle-checked; the MLlib k-means centroid REFRESH is covered by
+    embedding_centroids + the recall gate in pytest."""
+    from graphgen_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return (
+        ivf_topk(
+            emb, queries_df, k=3, n_cells=16, nprobe=4,
+            centroids="random", seed=7,
+        )
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round(F.col("cosine") * 10000).cast("long")
+            .alias("cosine_x10k"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH embedding near-dup pairs, oracle-
     checked: the DuckDB side inlines the literal plane matrices,
@@ -1170,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
@@ -1424,6 +1450,15 @@ def _embedding_lsh_topk_oracle() -> str:
     )
 
 
+def _embedding_ivf_topk_oracle() -> str:
+    from graphgen_spark.datapipe.similarity import ivf_topk_oracle_sql
+
+    return ivf_topk_oracle_sql(
+        "embeddings", k=3, n_cells=16, nprobe=4, seed=7,
+        max_query_id=20,
+    )
+
+
 def _embedding_neardup_oracle() -> str:
     from graphgen_spark.datapipe.dedup import (
         embedding_neardup_oracle_sql,
@@ -1508,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
         "embedding_lsh_topk": _embedding_lsh_topk_oracle(),
+        "embedding_ivf_topk": _embedding_ivf_topk_oracle(),
         "corpus_curation": _curate_oracles()[0],
         "corpus_curation_funnel": _curate_oracles()[1],
         "doc_sample_stratified": """

@@ -162,6 +162,68 @@ def lsh_topk_oracle_sql(
     """
 
 
+def ivf_topk_oracle_sql(
+    table: str = "embeddings", vec_col: str = "embedding",
+    id_col: str = "vec_id", k: int = 10, n_cells: int = 16,
+    nprobe: int = 4, seed: int = 7, dim: int = 64,
+    max_query_id: int = 20,
+) -> str:
+    """DuckDB SQL reproducing ivf_topk with the deterministic
+    'random' centroids (seeded unit normals, inlined as literals):
+    nearest-cell assignment (ties -> larger cell, matching the
+    reverse(array_sort) order), nprobe probing, in-cell cosine
+    ranking, x10k cosine contract."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ", ".join(
+        "({}, [{}])".format(
+            ci, ", ".join(repr(float(x)) for x in cents[ci])
+        )
+        for ci in range(n_cells)
+    )
+    return f"""
+        WITH dbl AS (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col},
+                                  x -> CAST(x AS DOUBLE)) AS emb
+            FROM {table}
+        ),
+        cents(ci, c) AS (VALUES {rows}),
+        scores AS (
+            SELECT d.id, d.emb, c.ci,
+                   list_cosine_similarity(d.emb, c.c) AS sim
+            FROM dbl d CROSS JOIN cents c
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY sim DESC, ci DESC
+            ) AS r
+            FROM scores
+        ),
+        cells AS (SELECT id, emb, ci AS cell FROM ranked WHERE r = 1),
+        probes AS (
+            SELECT id, emb, ci AS cell FROM ranked
+            WHERE r <= {nprobe} AND id < {max_query_id}
+        ),
+        scored AS (
+            SELECT p.id AS query_id, t.id AS neighbor_id,
+                   list_cosine_similarity(p.emb, t.emb) AS cos_raw,
+                   row_number() OVER (
+                       PARTITION BY p.id
+                       ORDER BY list_cosine_similarity(p.emb, t.emb)
+                           DESC, t.id ASC
+                   ) AS rank
+            FROM probes p
+            JOIN cells t ON p.cell = t.cell AND p.id != t.id
+        )
+        SELECT query_id, neighbor_id, rank,
+               CAST(round(cos_raw * 10000) AS BIGINT) AS cosine_x10k
+        FROM scored WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def kmeans_centroids(
     corpus: DataFrame, n_cells: int = 16,
     vec_col: str = "embedding", seed: int = 7, max_iter: int = 10,
