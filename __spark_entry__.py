@@ -289,46 +289,42 @@ def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_edges_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """merge_edges semantics, oracle-checked: canonical-pair mention
-    counts, capped distinct-source counts, and the head of the sorted
-    distinct description set (the summary gate never cuts inside the
-    first short element, so split(desc)[0] == min(pred) exactly)."""
+    """merge_edges semantics, oracle-checked END TO END: canonical-pair
+    mention counts, capped distinct-source counts, and the FULL
+    summary-gated merged description + token length (DuckDB's RE2
+    reproduces the 200-token truncation with a bounded-repetition
+    regexp, so the gate itself is hash-checked, not just the head)."""
     result = _kg_wholedoc(spark, sf_dir, linked=True)
     return (
         result["edges"].select(
             "src_id", "tgt_id", "n_mentions",
             F.size("source_ids").alias("n_sources_capped"),
-            F.split("description", "<SEP>")[0].alias("desc_head"),
+            "description", "length",
         )
         .orderBy("src_id", "tgt_id")
     )
 
 
 def _q_kg_nodes_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """merge_nodes semantics, oracle-checked: per-canonical-entity
-    mention counts (one entity record per first in-chunk occurrence of
-    each alias — reference seen-set semantics), capped source counts,
-    description-set head."""
+    """merge_nodes semantics, oracle-checked end to end: per-canonical-
+    entity mention counts (one entity record per first in-chunk
+    occurrence of each alias — reference seen-set semantics), capped
+    source counts, and the full summary-gated description + length."""
     result = _kg_wholedoc(spark, sf_dir, linked=True)
     return (
         result["nodes"].select(
             "entity_name", "n_mentions",
             F.size("source_ids").alias("n_sources_capped"),
-            F.split("description", "<SEP>")[0].alias("desc_head"),
+            "description", "length",
         )
         .orderBy("entity_name")
     )
 
 
-def _q_kg_qa_true_false(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate-over-KG, oracle-checked end to end: merged edges ->
-    triple partitioner (pure SQL op) -> community_to_batches ->
-    generate_qa('true_false').  Restricted to edges whose merged
-    description is UNGATED (< 200 tokens == never truncated by the
-    summary gate), so DuckDB reproduces the exact question strings
-    from the sorted-distinct description join; gated edges are covered
-    by kg_edges_merged (counts/head) and the rows-only kg_qa_*."""
-    from graphgen_spark.operators.generate import generate_qa
+def _kg_triple_batches(spark: SparkSession, sf_dir: str):
+    """Triple-partitioner batches over ALL merged edges (gated
+    descriptions included — the oracle reproduces the gate), shared by
+    the oracle-checked generation-mode queries."""
     from graphgen_spark.operators.partitioners import (
         community_to_batches,
         triple_partition,
@@ -336,35 +332,98 @@ def _q_kg_qa_true_false(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = _kg_wholedoc(spark, sf_dir, linked=True)
     nodes, edges = result["nodes"], result["edges"]
-    edges_u = edges.where(F.col("length") < 200)
-    comms = triple_partition(edges_u)
-    batches = community_to_batches(comms, nodes, edges_u)
-    qa = generate_qa(batches, mode="true_false")
-    return qa.select("community_id", "question", "answer").orderBy(
-        "community_id", "question"
-    )
+    comms = triple_partition(edges)
+    return community_to_batches(comms, nodes, edges)
+
+
+def _mk_kg_qa_triple(mode: str):
+    """Oracle-checked generate-over-KG query factory: merged edges ->
+    triple partitioner (pure SQL op) -> community_to_batches ->
+    generate_qa(mode), over ALL edges (the DuckDB side replays the
+    summary gate with a bounded-repetition RE2 truncation)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from graphgen_spark.operators.generate import generate_qa
+
+        batches = _kg_triple_batches(spark, sf_dir)
+        qa = generate_qa(batches, mode=mode)
+        return qa.select("community_id", "question", "answer").orderBy(
+            "community_id", "question"
+        )
+
+    return q
+
+
+_q_kg_qa_true_false = _mk_kg_qa_triple("true_false")
 
 
 def _kg_qa_true_false_oracle() -> str:
-    from graphgen_spark.textkit import _TOKEN_RE
-
-    tok = _TOKEN_RE.pattern
-    assert "'" not in tok
+    desc, _ = _gate_sql("descr")
     return f"""{_kg_oracle_ctes(linked=True)},
         merged AS (
             SELECT subj, obj,
-                   array_to_string(
-                       list_sort(list_distinct(list(pred)))[1:200],
-                       '<SEP>'
-                   ) AS descr
+                   {_MERGED_DESCR.format(v='pred')} AS descr
             FROM triples
             GROUP BY subj, obj
         )
         SELECT subj || '::' || obj AS community_id,
-               'True or false: ' || descr AS question,
+               'True or false: ' || {desc} AS question,
                'True' AS answer
         FROM merged
-        WHERE len(regexp_extract_all(descr, '{tok}')) < 200
+        ORDER BY community_id, question
+    """
+
+
+def _kg_qa_aggregated_oracle() -> str:
+    desc, _ = _gate_sql("descr")
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM triples
+            GROUP BY subj, obj
+        )
+        SELECT subj || '::' || obj AS community_id,
+               'Summarize the relationships among: '
+                   || subj || ', ' || obj || '.' AS question,
+               {desc} AS answer
+        FROM merged
+        ORDER BY community_id, question
+    """
+
+
+def _kg_qa_atomic_oracle() -> str:
+    """Atomic mode over triple communities: one row per (community,
+    endpoint node); answer = the node's full gated description,
+    re-derived independently from the entity-record CTEs."""
+    desc, _ = _gate_sql("descr")
+    node_cte = _kg_node_merged_ctes()
+    return f"""{node_cte},
+        node_desc AS (
+            SELECT entity_name, {desc} AS ndesc FROM merged
+        ),
+        pairs AS (
+            SELECT DISTINCT least(cs, ct) AS subj,
+                            greatest(cs, ct) AS obj
+            FROM (
+                SELECT coalesce(ls.canonical_key, upper(m.s)) AS cs,
+                       coalesce(lt.canonical_key, upper(m.t)) AS ct
+                FROM m
+                LEFT JOIN lab ls ON upper(m.s) = ls.alias_norm
+                LEFT JOIN lab lt ON upper(m.t) = lt.alias_norm
+            ) WHERE cs <> ct
+        ),
+        units AS (
+            SELECT subj || '::' || obj AS community_id, subj AS name
+            FROM pairs
+            UNION ALL
+            SELECT subj || '::' || obj AS community_id, obj AS name
+            FROM pairs
+        )
+        SELECT u.community_id,
+               'What is known about ' || u.name || '?' AS question,
+               n.ndesc AS answer
+        FROM units u JOIN node_desc n ON u.name = n.entity_name
         ORDER BY community_id, question
     """
 
@@ -1212,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities_louvain": _q_kg_communities_louvain,
         "kg_qa_pairs": _q_kg_qa_pairs,
         "kg_qa_true_false": _q_kg_qa_true_false,
+        "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
+        "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
@@ -1309,22 +1370,57 @@ def _kg_oracle_ctes(linked: bool) -> str:
         )"""
 
 
+def _gate_sql(descr: str) -> tuple[str, str]:
+    """(description, length) SQL expressions applying the 200-token
+    summary gate to a raw merged-description expression ``descr`` —
+    the DuckDB twin of operators/merge._gated_description (RE2 handles
+    the bounded {200} repetition; parity-tested via the hash gates)."""
+    from graphgen_spark.textkit import _TOKEN_RE
+
+    tok = _TOKEN_RE.pattern
+    assert "'" not in tok
+    trunc = r"^(?:\s*(?:" + tok + r")){200}"
+    n_tok = f"len(regexp_extract_all({descr}, '{tok}'))"
+    desc = (
+        f"CASE WHEN {n_tok} < 200 THEN {descr} "
+        f"ELSE regexp_extract({descr}, '{trunc}') END"
+    )
+    length = f"CAST(least({n_tok}, 200) AS INT)"
+    return desc, length
+
+
+_MERGED_DESCR = (
+    "array_to_string(list_sort(list_distinct(list({v})))[1:200],"
+    " '<SEP>')"
+)
+
+
 def _kg_edges_merged_oracle() -> str:
-    return f"""{_kg_oracle_ctes(linked=True)}
-        SELECT subj AS src_id, obj AS tgt_id,
-               count(*) AS n_mentions,
-               least(count(DISTINCT url), 200) AS n_sources_capped,
-               min(pred) AS desc_head
-        FROM triples
-        GROUP BY subj, obj
+    desc, length = _gate_sql("descr")
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj AS src_id, obj AS tgt_id,
+                   count(*) AS n_mentions,
+                   least(count(DISTINCT url), 200) AS n_sources_capped,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM triples
+            GROUP BY subj, obj
+        )
+        SELECT src_id, tgt_id, n_mentions, n_sources_capped,
+               {desc} AS description, {length} AS length
+        FROM merged
         ORDER BY src_id, tgt_id
     """
 
 
-def _kg_nodes_merged_oracle() -> str:
-    """Entity records: one per FIRST in-doc occurrence of each alias
-    (src checked before tgt within a match — reference seen-set order),
-    description = '<alias> is mentioned in: <sentence>'."""
+def _kg_node_merged_ctes() -> str:
+    """Shared WITH-chain for node-merge semantics: entity records (one
+    per FIRST in-doc occurrence of each alias — src checked before tgt
+    within a match, reference seen-set order; description =
+    '<alias> is mentioned in: <sentence>'), canonical linking, and the
+    capped sorted-distinct merge into ``merged(entity_name,
+    n_mentions, n_sources_capped, descr)``.  Also defines ``m`` and
+    ``lab`` so callers can derive canonical pairs."""
     from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
 
     pages_path, labels_path = _kg_oracle_paths()
@@ -1371,13 +1467,25 @@ def _kg_nodes_merged_oracle() -> str:
         lab AS (
             SELECT alias_norm, canonical_key
             FROM read_parquet('{labels_path}')
-        )
-        SELECT coalesce(l.canonical_key, upper(e.alias)) AS entity_name,
-               count(*) AS n_mentions,
-               least(count(DISTINCT e.url), 200) AS n_sources_capped,
-               min(e.descr) AS desc_head
-        FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
-        GROUP BY entity_name
+        ),
+        merged AS (
+            SELECT coalesce(l.canonical_key, upper(e.alias))
+                       AS entity_name,
+                   count(*) AS n_mentions,
+                   least(count(DISTINCT e.url), 200)
+                       AS n_sources_capped,
+                   {_MERGED_DESCR.format(v='e.descr')} AS descr
+            FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
+            GROUP BY entity_name
+        )"""
+
+
+def _kg_nodes_merged_oracle() -> str:
+    return f"""{_kg_node_merged_ctes()}
+        SELECT entity_name, n_mentions, n_sources_capped,
+               {_gate_sql('descr')[0]} AS description,
+               {_gate_sql('descr')[1]} AS length
+        FROM merged
         ORDER BY entity_name
     """
 
@@ -1539,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
+        "kg_qa_atomic_triple": _kg_qa_atomic_oracle(),
+        "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
