@@ -392,6 +392,93 @@ def _kg_qa_aggregated_oracle() -> str:
     """
 
 
+def _kg_qa_cot_oracle() -> str:
+    desc, _ = _gate_sql("descr")
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM triples
+            GROUP BY subj, obj
+        )
+        SELECT subj || '::' || obj AS community_id,
+               'What can be concluded about ' || subj || ', ' || obj
+                   || '?' AS question,
+               'Following the reasoning path: ' || {desc}
+                   || ' Therefore these entities form one connected'
+                   || ' context.' AS answer
+        FROM merged
+        ORDER BY community_id, question
+    """
+
+
+def _kg_qa_fib_oracle() -> str:
+    """fill_in_blank over triple communities: first case-insensitive
+    occurrence of the canonical target name in the gated edge
+    description is masked; rows with no occurrence are skipped (the
+    entity-name charset is regex-meta-free, so a column-built RE2
+    pattern mirrors Python's re.escape'd search exactly)."""
+    desc, _ = _gate_sql("descr")
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM triples
+            GROUP BY subj, obj
+        ),
+        gated AS (
+            SELECT subj, obj, {desc} AS g FROM merged
+        )
+        SELECT subj || '::' || obj AS community_id,
+               regexp_replace(g, '(?i)' || obj, '____') AS question,
+               regexp_extract(g, '(?i)(' || obj || ')', 1) AS answer
+        FROM gated
+        WHERE regexp_matches(g, '(?i)' || obj)
+        ORDER BY community_id, question
+    """
+
+
+def _kg_qa_quiz_oracle() -> str:
+    """quiz over triple communities: one row per (community, node);
+    the node's own name is masked in its gated description, with the
+    reference's fallback question when the name never appears."""
+    desc, _ = _gate_sql("descr")
+    node_cte = _kg_node_merged_ctes()
+    return f"""{node_cte},
+        node_desc AS (
+            SELECT entity_name, {desc} AS ndesc FROM merged
+        ),
+        pairs AS (
+            SELECT DISTINCT least(cs, ct) AS subj,
+                            greatest(cs, ct) AS obj
+            FROM (
+                SELECT coalesce(ls.canonical_key, upper(m.s)) AS cs,
+                       coalesce(lt.canonical_key, upper(m.t)) AS ct
+                FROM m
+                LEFT JOIN lab ls ON upper(m.s) = ls.alias_norm
+                LEFT JOIN lab lt ON upper(m.t) = lt.alias_norm
+            ) WHERE cs <> ct
+        ),
+        units AS (
+            SELECT subj || '::' || obj AS community_id, subj AS name
+            FROM pairs
+            UNION ALL
+            SELECT subj || '::' || obj AS community_id, obj AS name
+            FROM pairs
+        )
+        SELECT u.community_id,
+               CASE WHEN regexp_matches(n.ndesc, '(?i)' || u.name)
+                    THEN 'Which entity is described here? ' ||
+                         regexp_replace(n.ndesc, '(?i)' || u.name,
+                                        '<entity>')
+                    ELSE n.ndesc || ' — name the entity.'
+               END AS question,
+               u.name AS answer
+        FROM units u JOIN node_desc n ON u.name = n.entity_name
+        ORDER BY community_id, question
+    """
+
+
 def _kg_qa_atomic_oracle() -> str:
     """Atomic mode over triple communities: one row per (community,
     endpoint node); answer = the node's full gated description,
@@ -1273,6 +1360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_true_false": _q_kg_qa_true_false,
         "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
+        "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
+        "kg_qa_quiz_triple": _mk_kg_qa_triple("quiz"),
+        "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
@@ -1649,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_true_false": _kg_qa_true_false_oracle(),
         "kg_qa_atomic_triple": _kg_qa_atomic_oracle(),
         "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
+        "kg_qa_cot_triple": _kg_qa_cot_oracle(),
+        "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
+        "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
