@@ -245,15 +245,30 @@ def _kg_wholedoc(spark: SparkSession, sf_dir: str, linked: bool) -> dict:
     the result tables are pure functions of pages.text — the
     configuration the DuckDB regex oracle re-derives independently.
     ``linked=True`` runs the alias-dict broadcast linking + CC
-    canonicalization too."""
+    canonicalization too.
+
+    Session-cached with pinned nodes/edges/triples: ~15 oracle-checked
+    kg_* queries consume these frames, and each would otherwise re-run
+    the whole extraction pipeline."""
     from graphgen_spark.pipelines import run_kg_pipeline
 
-    pages = _pages_for(spark, sf_dir)
-    return run_kg_pipeline(
-        spark, pages,
-        precomputed_labels=_labels_for(spark) if linked else None,
-        chunk_size=1_000_000_000, chunk_overlap=0,
-    )
+    key = (id(spark), sf_dir, "wholedoc", linked)
+    if key not in _KG_CACHE:
+        pages = _pages_for(spark, sf_dir)
+        out = run_kg_pipeline(
+            spark, pages,
+            precomputed_labels=_labels_for(spark) if linked else None,
+            chunk_size=1_000_000_000, chunk_overlap=0,
+            persist_records=True,
+        )
+        cached = {
+            "triples": out["triples"].localCheckpoint(eager=True),
+            "nodes": out["nodes"].localCheckpoint(eager=True),
+            "edges": out["edges"].localCheckpoint(eager=True),
+        }
+        out["records"].unpersist()
+        _KG_CACHE[key] = cached
+    return _KG_CACHE[key]
 
 
 def _kg_triples_wholedoc(
