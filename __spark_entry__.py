@@ -684,6 +684,7 @@ def _kg_nodes_edges(spark: SparkSession, sf_dir: str):
     out = run_kg_pipeline(
         spark, pages, precomputed_labels=_labels_for(spark),
         chunk_size=512, chunk_overlap=64, persist_records=True,
+        fused=True,  # one Python hop — identical records, ~2x cold build
     )
     # materialize: downstream probe/partition stages (and the CC
     # fixpoint inside them) reference the graph many times

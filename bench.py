@@ -132,7 +132,11 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).count()
             walls.append(time.time() - t0)
-            if walls[-1] > 60:
+            # re-run cap: 120 s keeps min-of-2 meaningful for the one
+            # query with a heavy cold graph build (qa_eval_metrics,
+            # 40-85 s cold depending on host noise) while still
+            # bounding suite time
+            if walls[-1] > 120:
                 break
         timings[name] = round(min(walls), 3)
         cold[name] = round(walls[0], 3)
