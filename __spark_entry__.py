@@ -1130,6 +1130,36 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_media_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column fingerprinting over the synthetic media table —
+    oracle-checked: exact folded byte histograms; the DuckDB side
+    inlines an independent pure-Python recomputation (no decode on
+    either side — byte-level plumbing, the honest non-codec check)."""
+    from graphgen_spark.datapipe.multimodal import (
+        byte_histograms,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 128)
+    return byte_histograms(media).orderBy("media_id")
+
+
+def _media_byte_hist_oracle() -> str:
+    from graphgen_spark.datapipe.multimodal import synth_media_expected
+
+    rows = ", ".join(
+        "('{}', '{}', {}, {})".format(mid, mod, nb, hist)
+        for mid, mod, nb, hist in synth_media_expected(128)
+    )
+    return f"""
+        SELECT media_id, modality,
+               CAST(n_bytes AS BIGINT) AS n_bytes, hist
+        FROM (VALUES {rows})
+            AS t(media_id, modality, n_bytes, hist)
+        ORDER BY media_id
+    """
+
+
 def _q_supplier_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution operator (stats.degree_table) over a
     SQL-derivable bipartite graph (supplier-part from lineitem) — the
@@ -1360,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         "minhash_dedup_groups": _q_minhash_dedup,
         "media_features": _q_media_features,
+        "media_byte_hist": _q_media_byte_hist,
         "kg_triples": _q_kg_triples,
         "kg_triples_nodict": _q_kg_triples_nodict,
         "kg_triples_linked": _q_kg_triples_linked,
@@ -1759,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
+        "media_byte_hist": _media_byte_hist_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
         "embedding_lsh_topk": _embedding_lsh_topk_oracle(),

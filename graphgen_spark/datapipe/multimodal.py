@@ -152,6 +152,67 @@ def sample_frames(
     return media.mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("hist", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def byte_histograms(media: DataFrame) -> DataFrame:
+    """Binary-column content fingerprint WITHOUT decoding: the folded
+    byte histogram (mod FEATURE_DIM) as exact integers — the counts
+    behind _fake_feature before L2 normalization.  Useful on its own
+    for payload dedup/corruption checks, and the hash-checkable face
+    of the media plumbing (pure ints; the driver oracle recomputes
+    the histograms independently in plain Python)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                b = bytes(payload or b"")
+                arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                hist = np.bincount(
+                    arr % FEATURE_DIM, minlength=FEATURE_DIM
+                ).astype(np.int64)
+                rows.append((mid, modality, len(b), hist.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "modality", "n_bytes", "hist"],
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        gen, schema=HIST_SCHEMA
+    )
+
+
+def synth_media_expected(n: int) -> list:
+    """Pure-Python expectation for byte_histograms(synth_media_df(n)) —
+    no Spark, no pandas: the independent recomputation the driver
+    oracle inlines as literal rows."""
+    import hashlib
+
+    modalities = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        payload = hashlib.blake2b(
+            f"media-{i}".encode(), digest_size=32
+        ).digest() * (4 + i % 5)
+        hist = [0] * FEATURE_DIM
+        for byte in payload:
+            hist[byte % FEATURE_DIM] += 1
+        out.append(
+            (f"m{i}", modalities[i % 3], len(payload), hist)
+        )
+    return out
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benches (payload bytes
     derived from the id; modality round-robins image/audio/video).

@@ -227,6 +227,21 @@ class TestMultimodal:
             norm = sum(x * x for x in r["feature"])
             assert abs(norm - 1.0) < 1e-3
 
+    def test_byte_histograms_match_pure_python(self, spark):
+        from graphgen_spark.datapipe.multimodal import (
+            byte_histograms,
+            synth_media_expected,
+        )
+
+        got = sorted(
+            (r["media_id"], r["modality"], r["n_bytes"], list(r["hist"]))
+            for r in byte_histograms(synth_media_df(spark, 16)).collect()
+        )
+        want = sorted(synth_media_expected(16))
+        assert got == want
+        # histogram mass == payload length
+        assert all(sum(h) == nb for _, _, nb, h in got)
+
     def test_feature_determinism(self, spark):
         a = {r["media_id"]: r["feature"]
              for r in extract_features(synth_media_df(spark, 8)).collect()}
