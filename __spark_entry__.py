@@ -756,6 +756,66 @@ def _q_kg_communities_louvain(
     )
 
 
+def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked community INVARIANTS for the greedy BFS partitioner
+    (reference bfs_partitioner.py semantics): exact membership depends
+    on seeded greedy growth (not SQL), but its conservation laws are
+    SQL-expressible — every node and edge unit lands in exactly one
+    community, unit counts and token sums are conserved, and no
+    community violates the max_units / token-budget caps.  DuckDB
+    re-derives node/edge universes + gated lengths from pages.text and
+    predicts every row independently (caps predicted as literal 0).
+
+    max_tokens=256 makes the budget stop non-vacuous at sf0.01 (gated
+    unit lengths reach 200 tokens), so both stopping conditions of the
+    greedy growth are actually exercised."""
+    from graphgen_spark.operators.partitioners import bfs_partition
+
+    kg = _kg_wholedoc(spark, sf_dir, linked=True)
+    comms = bfs_partition(
+        kg["nodes"], kg["edges"],
+        max_units=50, min_units=1, max_tokens=256,
+    ).localCheckpoint(eager=True)
+
+    agg = comms.agg(
+        F.sum("n_units").cast("long").alias("units_total"),
+        F.sum("token_sum").cast("long").alias("token_sum_total"),
+        F.sum((F.col("n_units") > 50).cast("long")).alias(
+            "oversize_communities"
+        ),
+        # greedy adds stop once token_sum >= max_tokens; one gated unit
+        # (<=200 tokens) may land past the line, never two
+        F.sum((F.col("token_sum") >= 256 + 200).cast("long")).alias(
+            "overbudget_communities"
+        ),
+    )
+    nodes_m = comms.select(F.explode("nodes").alias("n")).agg(
+        F.count(F.lit(1)).alias("node_memberships"),
+        F.countDistinct("n").alias("distinct_nodes_covered"),
+    )
+    edges_m = comms.select(F.explode("edges").alias("e")).agg(
+        F.count(F.lit(1)).alias("edge_memberships"),
+        F.countDistinct("e.src", "e.dst").alias("distinct_edges_covered"),
+    )
+
+    def rows(df: DataFrame) -> DataFrame:
+        out = None
+        for c in df.columns:
+            one = df.select(
+                F.lit(c).alias("check_name"),
+                F.col(c).cast("long").alias("value"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    return (
+        rows(agg)
+        .unionByName(rows(nodes_m))
+        .unionByName(rows(edges_m))
+        .orderBy("check_name")
+    )
+
+
 def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community -> QA generation (aggregated mode, QA_pairs format)."""
     from graphgen_spark.operators.generate import format_qa, generate_qa
@@ -920,12 +980,15 @@ def _q_masked_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (pure relational shingle join)."""
+    """n-gram Jaccard near-dup pairs (pure relational shingle join).
+    df_cap=4 keeps the stop-shingle filter non-vacuous at sf0.01 (max
+    shingle df there is 7; 151 hot shingles actually drop) so the
+    oracle hash-checks the CAPPED semantics, not just the join."""
     from graphgen_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+        ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=4)
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("a", "b")
     )
@@ -1141,14 +1204,28 @@ def _q_media_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synth_media_df(spark, 128)
-    return byte_histograms(media).orderBy("media_id")
+    # The driver canonicalizer sorts on every output column with
+    # pandas, which cannot sort/factorize list cells — so the exact
+    # histogram travels as a comma-joined string, not array<bigint>.
+    return (
+        byte_histograms(media)
+        .select(
+            "media_id",
+            "modality",
+            "n_bytes",
+            F.array_join("hist", ",").alias("hist"),
+        )
+        .orderBy("media_id")
+    )
 
 
 def _media_byte_hist_oracle() -> str:
     from graphgen_spark.datapipe.multimodal import synth_media_expected
 
     rows = ", ".join(
-        "('{}', '{}', {}, {})".format(mid, mod, nb, hist)
+        "('{}', '{}', {}, '{}')".format(
+            mid, mod, nb, ",".join(str(c) for c in hist)
+        )
         for mid, mod, nb, hist in synth_media_expected(128)
     )
     return f"""
@@ -1359,7 +1436,14 @@ def _q_qa_eval_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is a CONTRACT: the driver verifies only the
+    FIRST 50 entries, so every oracle-backed query (one per key in
+    oracle_sql()) comes first, then the rows-only queries ordered by
+    how much unique machinery they exercise.  Keep new oracle-backed
+    queries ABOVE the rows-only block (tests/test_contract.py gates
+    this)."""
     return {
+        # --- oracle-backed (hash-checked by the driver at sf0.01) ---
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "doc_token_stats": _q_doc_token_stats,
@@ -1371,7 +1455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "supplier_part_degrees": _q_supplier_part_degrees,
         "events_sessions": _q_events_sessions,
-        "qa_eval_metrics": _q_qa_eval_metrics,
         "qa_eval_metrics_agg": _q_qa_eval_metrics_agg,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "corpus_curation": _q_corpus_curation,
@@ -1388,22 +1471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
-        "minhash_dedup_groups": _q_minhash_dedup,
-        "media_features": _q_media_features,
         "media_byte_hist": _q_media_byte_hist,
-        "kg_triples": _q_kg_triples,
         "kg_triples_nodict": _q_kg_triples_nodict,
         "kg_triples_linked": _q_kg_triples_linked,
         "kg_edges_merged": _q_kg_edges_merged,
         "kg_nodes_merged": _q_kg_nodes_merged,
-        "kg_triple_eval": _q_kg_triple_eval,
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities_triple": _q_kg_communities_triple,
+        "kg_communities_check": _q_kg_communities_check,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
-        "kg_communities": _q_kg_communities,
-        "kg_communities_louvain": _q_kg_communities_louvain,
-        "kg_qa_pairs": _q_kg_qa_pairs,
         "kg_qa_true_false": _q_kg_qa_true_false,
         "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
@@ -1413,6 +1490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
+        "qa_eval_docs": _q_qa_eval_docs,
+        # --- rows-only (documented non-SQL-expressible; first three
+        # stay inside the driver's 50-query window) ---
+        "minhash_dedup_groups": _q_minhash_dedup,
+        "kg_communities": _q_kg_communities,
+        "media_features": _q_media_features,
+        # --- rows-only tail (beyond the driver window; pytest-covered) ---
+        "kg_triple_eval": _q_kg_triple_eval,
+        "kg_communities_louvain": _q_kg_communities_louvain,
+        "kg_qa_pairs": _q_kg_qa_pairs,
         "kg_qa_cot": _mk_kg_qa_mode("cot"),
         "kg_qa_multi_choice": _mk_kg_qa_mode("multi_choice"),
         "kg_qa_multi_answer": _mk_kg_qa_mode("multi_answer"),
@@ -1420,7 +1507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_masked_fib": _mk_kg_qa_mode("masked_fill_in_blank"),
         "kg_qa_quiz": _mk_kg_qa_mode("quiz"),
         "kg_qa_vqa": _q_kg_qa_vqa,
-        "qa_eval_docs": _q_qa_eval_docs,
     }
 
 
@@ -1627,6 +1713,75 @@ def _kg_nodes_merged_oracle() -> str:
     """
 
 
+def _kg_communities_check_oracle() -> str:
+    """Independent DuckDB prediction of every BFS-community invariant:
+    node/edge universes + gated token lengths re-derived from
+    pages.text (same CTE chain the hash-green kg_nodes_merged /
+    kg_edges_merged oracles use), cap violations predicted as 0."""
+    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
+
+    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
+    assert "'" not in en and "'" not in zh
+    _, length = _gate_sql("descr")
+    return f"""{_kg_node_merged_ctes()},
+        men2 AS (
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{en}', 1)) AS s,
+                   unnest(regexp_extract_all(text, '{en}', 2)) AS v,
+                   unnest(regexp_extract_all(text, '{en}', 3)) AS t
+            FROM pages
+            UNION ALL
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{zh}', 1)),
+                   unnest(regexp_extract_all(text, '{zh}', 2)),
+                   unnest(regexp_extract_all(text, '{zh}', 3))
+            FROM pages
+        ),
+        linked2 AS (
+            SELECT coalesce(ls.canonical_key, upper(men2.s)) AS cs,
+                   coalesce(lt.canonical_key, upper(men2.t)) AS ct,
+                   men2.s || ' ' || men2.v || ' ' || men2.t AS pred
+            FROM men2
+            LEFT JOIN lab ls ON upper(men2.s) = ls.alias_norm
+            LEFT JOIN lab lt ON upper(men2.t) = lt.alias_norm
+        ),
+        edges2 AS (
+            SELECT least(cs, ct) AS src_id, greatest(cs, ct) AS tgt_id,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM linked2 WHERE cs <> ct
+            GROUP BY least(cs, ct), greatest(cs, ct)
+        ),
+        estat AS (
+            SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
+            FROM edges2
+        ),
+        nstat AS (
+            SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
+            FROM merged
+        )
+        SELECT check_name, value FROM (
+            SELECT 'distinct_edges_covered' AS check_name,
+                   CAST(n AS BIGINT) AS value FROM estat
+            UNION ALL
+            SELECT 'distinct_nodes_covered', CAST(n AS BIGINT) FROM nstat
+            UNION ALL
+            SELECT 'edge_memberships', CAST(n AS BIGINT) FROM estat
+            UNION ALL
+            SELECT 'node_memberships', CAST(n AS BIGINT) FROM nstat
+            UNION ALL
+            SELECT 'overbudget_communities', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'oversize_communities', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'token_sum_total', nstat.tok + estat.tok
+            FROM nstat, estat
+            UNION ALL
+            SELECT 'units_total', CAST(nstat.n + estat.n AS BIGINT)
+            FROM nstat, estat
+        ) ORDER BY check_name
+    """
+
+
 def _pages_host_cap_oracle() -> str:
     pages_path, _ = _kg_oracle_paths()
     return f"""
@@ -1681,7 +1836,8 @@ def _doc_bpe_token_stats_oracle() -> str:
             FROM documents
         )
         SELECT lang, count(*) AS n_docs,
-               sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
                max(bpe) AS max_doc_bpe
         FROM t GROUP BY lang ORDER BY lang
     """
@@ -1779,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_linked": _kg_triples_oracle(linked=True),
         "kg_coverage_by_url": _kg_coverage_oracle(),
         "kg_communities_triple": _kg_communities_triple_oracle(),
+        "kg_communities_check": _kg_communities_check_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
@@ -1822,7 +1979,7 @@ def oracle_sql() -> dict[str, str]:
                            ) AS cum_tokens
                 FROM documents
             )
-            SELECT doc_id, lang, cum_tokens
+            SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM t WHERE (cum_tokens - n_tokens) < 2000
             ORDER BY lang, cum_tokens
         """,
@@ -1854,9 +2011,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": r"""
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-                   (1000000 * sum(len(regexp_split_to_array(trim(text), '\s+'))))
-                       // count(*) AS avg_tokens_micro
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                        AS BIGINT) AS total_tokens,
+                   CAST((1000000 * sum(len(regexp_split_to_array(
+                            trim(text), '\s+')))) // count(*)
+                        AS BIGINT) AS avg_tokens_micro
             FROM documents
             GROUP BY lang
             ORDER BY lang
@@ -2005,7 +2164,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_session GROUP BY user_id ORDER BY user_id
         """,
         "ngram_jaccard_pairs": r"""
-            WITH sh AS (
+            WITH sh0 AS (
                 SELECT doc_id,
                        unnest(list_distinct([
                            array_to_string(toks[i:i+2], ' ')
@@ -2014,6 +2173,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id,
                              regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents)
+            ),
+            hot AS (
+                SELECT shingle FROM sh0
+                GROUP BY shingle HAVING count(*) > 4
+            ),
+            sh AS (
+                SELECT * FROM sh0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             common AS (
@@ -2175,12 +2342,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang,
                    count(*) AS n_pairs,
-                   (1000000 * sum(answer_tokens)) // count(*)
-                       AS avg_answer_tokens_micro,
-                   sum(rw) // count(*) AS avg_reward_micro,
-                   sum(na) // count(*) AS avg_naturalness_micro,
-                   sum(co) // count(*) AS avg_coherence_micro,
-                   sum(un) // count(*) AS avg_understandability_micro
+                   CAST((1000000 * sum(answer_tokens)) // count(*)
+                        AS BIGINT) AS avg_answer_tokens_micro,
+                   CAST(sum(rw) // count(*) AS BIGINT) AS avg_reward_micro,
+                   CAST(sum(na) // count(*) AS BIGINT)
+                       AS avg_naturalness_micro,
+                   CAST(sum(co) // count(*) AS BIGINT)
+                       AS avg_coherence_micro,
+                   CAST(sum(un) // count(*) AS BIGINT)
+                       AS avg_understandability_micro
             FROM s
             GROUP BY lang
             ORDER BY lang
@@ -2225,22 +2395,21 @@ def oracle_sql() -> dict[str, str]:
             FROM o ORDER BY doc_id
         """,
         # Remaining rows-only queries, each with a concrete reason:
-        # - kg_triples / kg_triple_eval: the CHUNKED pipeline config
-        #   (512/64 overlap) — chunk boundaries aren't SQL; the same
-        #   spine is hash-checked whole-doc by kg_triples_{nodict,
-        #   linked}, kg_{nodes,edges}_merged, kg_coverage_by_url,
+        # - kg_triple_eval: the CHUNKED pipeline config (512/64
+        #   overlap) — chunk boundaries aren't SQL; the same spine is
+        #   hash-checked whole-doc by kg_triples_{nodict,linked},
+        #   kg_{nodes,edges}_merged, kg_coverage_by_url,
         #   kg_qa_true_false.
         # - kg_communities / kg_communities_louvain / kg_qa_{pairs,cot,
         #   multi_choice,multi_answer,fill_in_blank,masked_fib,quiz,
-        #   vqa}: community payloads come from the greedy seeded-random
-        #   BFS growth (not SQL); generate kernels are oracle-checked
-        #   doc-level (three *_docs queries) and KG-level via
-        #   kg_qa_true_false over the pure-SQL triple partitioner.
-        # - qa_eval_metrics: same community input + order-dependent
-        #   MTLD; the aggregate surface is hash-checked by
-        #   qa_eval_metrics_agg and per-row by qa_eval_docs.
+        #   vqa}: exact community payloads come from the greedy seeded
+        #   BFS growth (not SQL) — but its conservation laws ARE
+        #   hash-checked (kg_communities_check: exactly-once unit
+        #   coverage, token-sum conservation, cap compliance); generate
+        #   kernels are oracle-checked doc-level (three *_docs queries)
+        #   and KG-level via the pure-SQL triple partitioner.
         # - minhash_dedup_groups: crc32+permutation MinHash is not
         #   SQL-expressible; kernel behavior covered by pytest.
         # - media_features: payloads are hash-synthesized binaries; the
-        #   decode stub's byte-histogram isn't SQL-expressible.
+        #   byte-level plumbing is hash-checked by media_byte_hist.
     }

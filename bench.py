@@ -184,7 +184,31 @@ def main() -> None:
             "cpus_hi": hi_cpus, "wall_hi": round(t_hi, 3),
             "efficiency": round(eff, 3) if eff else None,
         }
+
+    # The round driver captures only the LAST 2000 chars of stdout; the
+    # full result (61 warm + 61 cold timings) outgrew that in round 3
+    # and the headline metric was lost (BENCH_r03.parsed = null).  So:
+    # full detail goes to a file + an EARLIER stdout line, and the
+    # FINAL line is a compact headline-only object that always fits.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "triples": result["triples"],
+        "triples_per_sec": result["triples_per_sec"],
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if "scaling" in result:
+        headline["scaling"] = result["scaling"]
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

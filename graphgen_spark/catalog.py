@@ -199,14 +199,18 @@ def snapshot_write(
     # allocate past every EXISTING version, not parent+1: after a
     # rollback the parent is old but later snapshot files still exist
     # (time-travel-readable) and must never be overwritten
+    # parse the FULL stem: a fixed fn[1:6] slice reads 'v100000.json'
+    # as 10000 and the next allocation collides with (and overwrites)
+    # an existing snapshot's metadata past id 99999
     existing = [
-        int(fn[1:6])
+        int(fn[1:-5])
         for fn in (
             os.listdir(_meta_dir(location, name))
             if os.path.isdir(_meta_dir(location, name))
             else []
         )
         if fn.startswith("v") and fn.endswith(".json")
+        and fn[1:-5].isdigit()
     ]
     snap_id = max(existing, default=0) + 1
     data_rel = os.path.join("snapshots", f"snap-{snap_id:05d}")

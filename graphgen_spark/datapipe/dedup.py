@@ -18,6 +18,7 @@ All outputs share the contract: a ``dup_groups`` frame
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
@@ -92,16 +93,41 @@ def shingles(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.8,
+    n: int = 3, threshold: float = 0.8, df_cap: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for doc pairs with Jaccard >= threshold over
     word n-grams.  Shingle self-join: candidate generation touches only
     docs that SHARE a shingle (linear in shingle postings, not |D|²);
-    AQE skew-join splits hot shingles."""
+    AQE skew-join splits hot shingles.
+
+    ``df_cap``: drop shingles whose document frequency exceeds the cap
+    BEFORE the self-join (standard stop-shingle filter).  Without it a
+    boilerplate phrase shared by 10^6 docs generates ~10^12 candidate
+    pairs no matter how AQE splits the partition — the cap bounds the
+    per-shingle pair contribution at df_cap², and Jaccard is computed
+    over the filtered shingle sets on both sides of the ratio (exactly
+    what the DuckDB oracle mirrors).  Recall loss on genuinely similar
+    pairs is what MinHash banding (minhash_pairs) covers."""
     # the postings table feeds three plan branches (sizes + both join
     # sides) — materialize it once instead of re-running the explode
     # per branch (at scale this is the landed shingle-postings table)
     sh = _persist(shingles(docs, text_col, id_col, n))
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: df_cap=%d dropped %d hot "
+                "shingles before the self-join", df_cap, n_hot,
+            )
+        # hot is tiny by construction (heavy tail above the cap) —
+        # AQE turns this anti-join into a broadcast at runtime
+        sh = _persist(sh.join(hot, "shingle", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -199,6 +199,30 @@ class TestSnapshotTable:
         with pytest.raises(FileNotFoundError):
             snapshot_read(spark, str(tmp_path), "nope")
 
+    def test_id_allocation_past_five_digits(self, spark, tmp_path):
+        """A 6-digit snapshot file must not collide with a new
+        allocation: fn[1:6] parsed 'v100000.json' as 10000 and
+        max+1 could overwrite existing metadata (ADVICE r3)."""
+        import os
+
+        from graphgen_spark.catalog import _meta_dir, snapshot_write
+
+        loc = str(tmp_path)
+        meta = _meta_dir(loc, "t")
+        os.makedirs(meta)
+        # pre-existing snapshot files from a long-lived table,
+        # including one past the 5-digit zero-pad width
+        for fake in ("v00003.json", "v100000.json", "not-a-snap.txt"):
+            with open(os.path.join(meta, fake), "w") as f:
+                f.write("{}")
+        sid = snapshot_write(
+            spark, spark.range(5), loc, "t", mode="overwrite"
+        )
+        assert sid == 100001
+        assert os.path.exists(os.path.join(meta, "v100001.json"))
+        # the fakes were never overwritten
+        assert open(os.path.join(meta, "v100000.json")).read() == "{}"
+
 
 class TestSnapshotCompact:
     def test_compact_preserves_rows(self, spark, tmp_path):
