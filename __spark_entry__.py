@@ -1059,7 +1059,8 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB side replays the md5-prefix gram hashes, the exact-int64
     signature recurrence (coefficients inlined from the seed), band
     buckets, candidate join, and integer Jaccard (datapipe/dedup.py).
-    Only the CC grouping on top stays rows-only (minhash_dedup_groups)."""
+    The CC grouping on top is oracle-checked too (minhash_dedup_groups,
+    recursive min-label closure)."""
     from graphgen_spark.datapipe.dedup import minhash_verified_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1167,9 +1168,12 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup groups (rows-only: the CC grouping is the
-    one non-SQL stage; the pair stage is oracle-checked by
-    minhash_verified_pairs)."""
+    """MinHash-LSH near-dup groups, oracle-checked END TO END: the
+    DuckDB side replays the whole pair stage and then groups it with
+    a RECURSIVE min-label transitive closure — upgrading the last
+    rows-only dedup stage to hash-checked.  The engine path keeps the
+    distributed large/small-star CC fixpoint (components.py); only the
+    oracle uses recursion (fine at sf0.01 scale)."""
     from graphgen_spark.datapipe.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1491,9 +1495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
         "qa_eval_docs": _q_qa_eval_docs,
-        # --- rows-only (documented non-SQL-expressible; first three
-        # stay inside the driver's 50-query window) ---
         "minhash_dedup_groups": _q_minhash_dedup,
+        # --- rows-only (documented non-SQL-expressible; first two
+        # stay inside the driver's 50-query window) ---
         "kg_communities": _q_kg_communities,
         "media_features": _q_media_features,
         # --- rows-only tail (beyond the driver window; pytest-covered) ---
@@ -1879,6 +1883,14 @@ def _simhash_pairs_oracle() -> str:
     )
 
 
+def _minhash_groups_oracle() -> str:
+    from graphgen_spark.datapipe.dedup import minhash_groups_oracle_sql
+
+    return minhash_groups_oracle_sql(
+        "documents", num_perm=64, bands=16, threshold=0.5
+    )
+
+
 def _minhash_pairs_oracle() -> str:
     from graphgen_spark.datapipe.dedup import minhash_pairs_oracle_sql
 
@@ -1947,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
+        "minhash_dedup_groups": _minhash_groups_oracle(),
         "media_byte_hist": _media_byte_hist_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),
@@ -2408,8 +2421,6 @@ def oracle_sql() -> dict[str, str]:
         #   coverage, token-sum conservation, cap compliance); generate
         #   kernels are oracle-checked doc-level (three *_docs queries)
         #   and KG-level via the pure-SQL triple partitioner.
-        # - minhash_dedup_groups: crc32+permutation MinHash is not
-        #   SQL-expressible; kernel behavior covered by pytest.
         # - media_features: payloads are hash-synthesized binaries; the
         #   byte-level plumbing is hash-checked by media_byte_hist.
     }

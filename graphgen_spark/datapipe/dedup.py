@@ -322,26 +322,22 @@ def minhash_verified_pairs(
     )
 
 
-def minhash_pairs_oracle_sql(
-    table: str = "documents", text_col: str = "text",
-    id_col: str = "doc_id", n: int = 3, num_perm: int = 64,
-    bands: int = 16, threshold: float = 0.8, seed: int = 42,
+def _minhash_chain_sql(
+    table: str, text_col: str, id_col: str, n: int, num_perm: int,
+    bands: int, seed: int,
 ) -> str:
-    """DuckDB SQL reproducing minhash_verified_pairs end to end:
-    gram sets, md5-prefix hashes, the (h*a+b) mod p signature
-    recurrence (coefficients inlined as VALUES — deterministic from
-    the seed), band buckets, candidate join, exact integer Jaccard.
-    Assumes ASCII-whitespace text (Python str.split vs regex \\s+
-    agree), which holds for the synthetic corpora."""
+    """The shared DuckDB CTE chain (no WITH keyword) reproducing
+    minhash_verified_pairs up to ``scored``: gram sets, md5-prefix
+    hashes, the (h*a+b) mod p signature recurrence (coefficients
+    inlined as VALUES — deterministic from the seed), band buckets,
+    candidate join, exact integer Jaccard terms."""
     a_coef, b_coef = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
-    thr_micro = int(round(threshold * 1_000_000))
     perm_rows = ", ".join(
         f"({j}, {int(a_coef[j])}, {int(b_coef[j])})"
         for j in range(num_perm)
     )
-    return rf"""
-        WITH perms(j, pa, pb) AS (VALUES {perm_rows}),
+    return rf"""perms(j, pa, pb) AS (VALUES {perm_rows}),
         t AS (
             SELECT {id_col} AS doc_id,
                    regexp_split_to_array(trim({text_col}), '\s+')
@@ -400,13 +396,70 @@ def minhash_pairs_oracle_sql(
             FROM com
             JOIN sz za ON za.doc_id = com.a
             JOIN sz zb ON zb.doc_id = com.b
-        )
+        )"""
+
+
+def minhash_pairs_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, num_perm: int = 64,
+    bands: int = 16, threshold: float = 0.8, seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing minhash_verified_pairs end to end.
+    Assumes ASCII-whitespace text (Python str.split vs regex \\s+
+    agree), which holds for the synthetic corpora."""
+    thr_micro = int(round(threshold * 1_000_000))
+    chain = _minhash_chain_sql(
+        table, text_col, id_col, n, num_perm, bands, seed
+    )
+    return f"""
+        WITH {chain}
         SELECT a, b,
                CAST((1000000 * common) // uni AS BIGINT)
                    AS jaccard_micro
         FROM scored
         WHERE 1000000 * common >= {thr_micro} * uni
         ORDER BY a, b
+    """
+
+
+def minhash_groups_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, num_perm: int = 64,
+    bands: int = 16, threshold: float = 0.8, seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing minhash_lsh_dedup END TO END, including
+    the connected-components grouping (the stage previously documented
+    as 'not SQL-expressible'): a recursive min-label transitive
+    closure over the verified pair graph.  State space is bounded by
+    (component size)² per component, fine at oracle scale — the
+    distributed large/small-star fixpoint remains the engine path."""
+    thr_micro = int(round(threshold * 1_000_000))
+    chain = _minhash_chain_sql(
+        table, text_col, id_col, n, num_perm, bands, seed
+    )
+    return f"""
+        WITH RECURSIVE {chain},
+        pairs AS (
+            SELECT a, b FROM scored
+            WHERE 1000000 * common >= {thr_micro} * uni
+        ),
+        und AS (
+            SELECT a AS x, b AS y FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ),
+        comp(node, root) AS (
+            SELECT doc_id, doc_id FROM t
+            UNION
+            SELECT u.y, c.root
+            FROM comp c JOIN und u ON u.x = c.node
+        )
+        SELECT node AS doc_id,
+               CAST(min(root) AS BIGINT) AS group_id,
+               (node = min(root)) AS keep
+        FROM comp
+        GROUP BY node
+        ORDER BY doc_id
     """
 
 
