@@ -1323,6 +1323,30 @@ def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per doc (reference mtld_evaluator.py) —
+    the order-dependent forward+backward factor scan, previously
+    documented as non-SQL-expressible and rows-only.  Oracle-checked:
+    DuckDB replays the exact sequential scan with a RECURSIVE CTE
+    (datapipe/textstats.py mtld_oracle_sql) and both sides emit exact
+    micros, so the one remaining 'trust the pytest' evaluator metric
+    is now hash-gated too.  Engine path stays the Arrow-batched pandas
+    UDF (a per-row scan is the right shape at scale; the recursion is
+    oracle-only)."""
+    from graphgen_spark.datapipe.textstats import mtld_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(mtld_udf("text") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("mtld_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-lang hash-ordered sampling (datapipe/sampling.py) —
     the reproducible-split curation op, oracle-checked."""
@@ -1496,11 +1520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_fill_docs": _q_masked_fill_docs,
         "qa_eval_docs": _q_qa_eval_docs,
         "minhash_dedup_groups": _q_minhash_dedup,
-        # --- rows-only (documented non-SQL-expressible; first two
-        # stay inside the driver's 50-query window) ---
+        "doc_mtld": _q_doc_mtld,
+        # --- rows-only (documented non-SQL-expressible; the first
+        # stays inside the driver's 50-query window) ---
         "kg_communities": _q_kg_communities,
-        "media_features": _q_media_features,
         # --- rows-only tail (beyond the driver window; pytest-covered) ---
+        "media_features": _q_media_features,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_communities_louvain": _q_kg_communities_louvain,
         "kg_qa_pairs": _q_kg_qa_pairs,
@@ -1883,6 +1908,12 @@ def _simhash_pairs_oracle() -> str:
     )
 
 
+def _doc_mtld_oracle() -> str:
+    from graphgen_spark.datapipe.textstats import mtld_oracle_sql
+
+    return mtld_oracle_sql("documents")
+
+
 def _minhash_groups_oracle() -> str:
     from graphgen_spark.datapipe.dedup import minhash_groups_oracle_sql
 
@@ -1960,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "minhash_dedup_groups": _minhash_groups_oracle(),
+        "doc_mtld": _doc_mtld_oracle(),
         "media_byte_hist": _media_byte_hist_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup_pairs": _embedding_neardup_oracle(),

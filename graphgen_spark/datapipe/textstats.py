@@ -174,3 +174,91 @@ def mtld(text: str, ttr_threshold: float = 0.72) -> float:
 @pandas_udf(T.DoubleType())
 def mtld_udf(text: pd.Series) -> pd.Series:
     return text.map(mtld)
+
+
+def mtld_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL replaying the MTLD factor scan EXACTLY — the
+    order-dependent metric previously documented as non-SQL.  A
+    recursive CTE carries (position, running type list, segment
+    length, factor count) per (doc, direction) and steps one token at
+    a time; every arithmetic op mirrors ``mtld`` above in the same
+    IEEE-double order (thresholds written as the same literals), so
+    the micro-scaled result hash-matches the pandas UDF.  Oracle-side
+    only: the engine path stays the vectorized per-row UDF — the
+    recursion's O(max_tokens) iterations over all docs is an oracle
+    tool, not a 100 TB plan."""
+    # \p{L}\p{N} mirrors Python str.isalnum for the synthetic corpora
+    return f"""
+        WITH RECURSIVE tk AS (
+            SELECT {id_col} AS doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim({text_col}), '\\s+'),
+                       t -> regexp_full_match(t, '[\\p{{L}}\\p{{N}}]+')
+                   ) AS toks
+            FROM {table}
+        ),
+        seqs AS (
+            SELECT doc_id, 'f' AS dir, toks AS seq FROM tk
+            UNION ALL
+            SELECT doc_id, 'b', list_reverse(toks) FROM tk
+        ),
+        scan(doc_id, dir, seq, i, types, seg, factors) AS (
+            SELECT doc_id, dir, seq, 0,
+                   CAST([] AS VARCHAR[]), 0, 0.0
+            FROM seqs
+            UNION ALL
+            SELECT doc_id, dir, seq, i + 1,
+                   CASE WHEN ttr <= 0.72
+                        THEN CAST([] AS VARCHAR[]) ELSE types2 END,
+                   CASE WHEN ttr <= 0.72 THEN 0 ELSE seg + 1 END,
+                   CASE WHEN ttr <= 0.72
+                        THEN factors + 1 ELSE factors END
+            FROM (
+                SELECT doc_id, dir, seq, i, factors, seg, types2,
+                       len(types2)::DOUBLE / (seg + 1) AS ttr
+                FROM (
+                    SELECT *,
+                           CASE WHEN list_contains(types, seq[i + 1])
+                                THEN types
+                                ELSE list_append(types, seq[i + 1])
+                           END AS types2
+                    FROM scan WHERE i < len(seq)
+                )
+            )
+        ),
+        fin AS (
+            SELECT doc_id, dir, seq,
+                   CASE
+                     WHEN seg > 0
+                          AND len(types)::DOUBLE / seg <= 0.72
+                         THEN factors + 1
+                     WHEN seg > 0
+                         THEN factors
+                              + (1 - (len(types)::DOUBLE / seg - 0.72)
+                                     / (1 - 0.72))
+                     ELSE factors
+                   END AS f2
+            FROM scan WHERE i = len(seq)
+        ),
+        vals AS (
+            SELECT doc_id, dir,
+                   CASE
+                     WHEN len(seq) = 0 THEN 0.0
+                     WHEN f2 > 0 THEN len(seq)::DOUBLE / f2
+                     ELSE len(seq)::DOUBLE
+                   END AS val
+            FROM fin
+        ),
+        res AS (
+            SELECT doc_id,
+                   (max(CASE WHEN dir = 'f' THEN val END)
+                    + max(CASE WHEN dir = 'b' THEN val END)) / 2 AS m
+            FROM vals GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(round(1000000 * m) AS BIGINT) AS mtld_micro
+        FROM res ORDER BY doc_id
+    """
