@@ -128,3 +128,17 @@ class TestRelationalPlans:
             p = plan_of(df)
             assert "CartesianProduct" not in p
             assert "BroadcastNestedLoopJoin" not in p
+
+    def test_df_cap_filter_is_equi_anti_join(self, spark, sf_dir):
+        """The stop-shingle filter must stay an equi anti-join on the
+        shingle key (AQE broadcasts the tiny hot set at runtime) —
+        never a cartesian/BNLJ, and no Python hop."""
+        from graphgen_spark.datapipe.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = ngram_jaccard_pairs(docs, threshold=0.05, df_cap=4)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "MapInPandas" not in p
+        assert "LeftAnti" in p
