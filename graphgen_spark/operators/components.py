@@ -215,6 +215,35 @@ def connected_components(
     edges = edges.select(src_col, dst_col)
     if not assume_materialized:
         edges = edges.localCheckpoint(eager=True)
+    if driver_max_edges:
+        # small-graph fast path at the STRING level: one count + one
+        # collect, union-find on names (min-name representative ==
+        # component_name), zero joins/shuffles downstream.  The join
+        # formulation below cost ~7 s of pure job-scheduling latency
+        # for a 6k-edge alias dictionary at local[32].  `component`
+        # stays in the xxhash64-of-a-member-name id space (hash of the
+        # min-name member), matching the singleton fallback consumers
+        # use for isolated nodes; only (name, component_name) is part
+        # of the cross-path parity contract (tests/test_kg_pipeline).
+        n_raw = edges.count()
+        if n_raw <= driver_max_edges:
+            pairs = [(r[0], r[1]) for r in edges.collect()]
+            labels = _driver_union_find(pairs)
+            spark = edges.sparkSession
+            lab_df = (
+                spark.createDataFrame(
+                    labels, "name string, component_name string"
+                )
+                if labels
+                else spark.createDataFrame(
+                    [], "name string, component_name string"
+                )
+            )
+            return lab_df.select(
+                "name",
+                F.xxhash64("component_name").alias("component"),
+                "component_name",
+            )
     ids = (
         edges.select(F.col(src_col).alias("name"))
         .union(edges.select(F.col(dst_col).alias("name")))
