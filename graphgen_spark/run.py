@@ -264,6 +264,7 @@ def _op_dedup(spark, deps, params):
             docs, text_col=text_col, id_col=id_col,
             n=params.get("n", 3),
             threshold=params.get("threshold", 0.8),
+            df_cap=params.get("df_cap"),  # stop-shingle filter
         )
     if method == "simhash":
         return D.simhash_dup_pairs(
