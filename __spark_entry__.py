@@ -816,6 +816,55 @@ def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_louvain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked conservation laws for the Louvain/Leiden community
+    partitioner (reference leiden_partitioner.py), same style as
+    kg_communities_check: exact membership is the seeded modularity
+    search (not SQL), but the partition CONTRACT is — every node of
+    the whole-doc KG lands in exactly one community, no community
+    exceeds max_size, and no induced edge is emitted twice.  DuckDB
+    re-derives the node universe from pages.text and predicts every
+    row (caps as literal 0)."""
+    from graphgen_spark.operators.partitioners import leiden_partition
+
+    kg = _kg_wholedoc(spark, sf_dir, linked=True)
+    comms = leiden_partition(
+        kg["nodes"], kg["edges"], max_size=20
+    ).localCheckpoint(eager=True)
+
+    agg = comms.agg(
+        F.sum((F.size("nodes") > 20).cast("long")).alias(
+            "oversize_communities"
+        ),
+    )
+    nodes_m = comms.select(F.explode("nodes").alias("n")).agg(
+        F.count(F.lit(1)).alias("node_memberships"),
+        F.countDistinct("n").alias("distinct_nodes_covered"),
+    )
+    edges_m = comms.select(F.explode("edges").alias("e")).agg(
+        (
+            F.count(F.lit(1)) - F.countDistinct("e.src", "e.dst")
+        ).alias("duplicate_edge_memberships"),
+    )
+
+    def rows(df: DataFrame) -> DataFrame:
+        out = None
+        for c in df.columns:
+            one = df.select(
+                F.lit(c).alias("check_name"),
+                F.col(c).cast("long").alias("value"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    return (
+        rows(agg)
+        .unionByName(rows(nodes_m))
+        .unionByName(rows(edges_m))
+        .orderBy("check_name")
+    )
+
+
 def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community -> QA generation (aggregated mode, QA_pairs format)."""
     from graphgen_spark.operators.generate import format_qa, generate_qa
@@ -1507,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities_triple": _q_kg_communities_triple,
         "kg_communities_check": _q_kg_communities_check,
+        "kg_louvain_check": _q_kg_louvain_check,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_qa_true_false": _q_kg_qa_true_false,
@@ -1521,10 +1571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_eval_docs": _q_qa_eval_docs,
         "minhash_dedup_groups": _q_minhash_dedup,
         "doc_mtld": _q_doc_mtld,
-        # --- rows-only (documented non-SQL-expressible; the first
-        # stays inside the driver's 50-query window) ---
+        # --- rows-only tail (beyond the driver's 50-query window —
+        # the window is now 100% oracle-backed; pytest-covered) ---
         "kg_communities": _q_kg_communities,
-        # --- rows-only tail (beyond the driver window; pytest-covered) ---
         "media_features": _q_media_features,
         "kg_triple_eval": _q_kg_triple_eval,
         "kg_communities_louvain": _q_kg_communities_louvain,
@@ -1739,6 +1788,25 @@ def _kg_nodes_merged_oracle() -> str:
                {_gate_sql('descr')[1]} AS length
         FROM merged
         ORDER BY entity_name
+    """
+
+
+def _kg_louvain_check_oracle() -> str:
+    """DuckDB prediction of the Louvain partition contract: node
+    universe re-derived via the node-merge CTE chain; duplicate and
+    cap violations predicted as 0."""
+    return f"""{_kg_node_merged_ctes()},
+        nstat AS (SELECT count(*) AS n FROM merged)
+        SELECT check_name, value FROM (
+            SELECT 'distinct_nodes_covered' AS check_name,
+                   CAST(n AS BIGINT) AS value FROM nstat
+            UNION ALL
+            SELECT 'duplicate_edge_memberships', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'node_memberships', CAST(n AS BIGINT) FROM nstat
+            UNION ALL
+            SELECT 'oversize_communities', CAST(0 AS BIGINT)
+        ) ORDER BY check_name
     """
 
 
@@ -1979,6 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_coverage_by_url": _kg_coverage_oracle(),
         "kg_communities_triple": _kg_communities_triple_oracle(),
         "kg_communities_check": _kg_communities_check_oracle(),
+        "kg_louvain_check": _kg_louvain_check_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
