@@ -45,19 +45,30 @@ def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42,
     """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed
     into a long — pure column expressions over a literal plane matrix."""
     planes = _planes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        # single array literal: ONE py4j call and ONE Literal node per
-        # plane (per-element F.lit built a 64-node tree per plane —
-        # measured seconds of driver-side analysis on the IVF twin)
-        plane_arr = F.lit([float(x) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec, plane_arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    # ONE nested plane-matrix literal + ONE transform/aggregate chain
+    # for all planes: the per-plane loop created n_planes independent
+    # higher-order lambda conversions (driver-side construction cost,
+    # same pathology as the IVF cell loop).  Bit packing: sign(dot_i)
+    # contributes 2^i, summed exactly as the loop formulation did.
+    pmat = F.lit([[float(x) for x in p] for p in planes])
+    dots = F.transform(
+        pmat,
+        lambda p, i: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            # 2^i as an exact long (shiftleft needs a literal bit
+            # count; pow is exact in doubles for i <= 52, n_planes
+            # never exceeds 12 here)
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        dots, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 def brute_force_topk(
