@@ -48,12 +48,22 @@ class TestGreedyPartitioners:
         assert comms
         covered_nodes = set()
         used_edges = set()
+        n_node_memberships = 0
+        n_edge_memberships = 0
         for c in comms:
             assert c["n_units"] <= 4 + 4  # budget checked pre-add like ref
             covered_nodes.update(c["nodes"])
             used_edges.update((e["src"], e["dst"]) for e in c["edges"])
+            n_node_memberships += len(c["nodes"])
+            n_edge_memberships += len(c["edges"])
         assert covered_nodes == set("ABCDEF")
         assert len(used_edges) == 7
+        # conservation laws (the kg_communities_check oracle contract):
+        # exactly-once membership, unit-count and token-sum totals
+        assert n_node_memberships == 6
+        assert n_edge_memberships == 7
+        assert sum(c["n_units"] for c in comms) == 6 + 7
+        assert sum(c["token_sum"] for c in comms) == 6 * 3 + 7 * 4
 
     def test_ece_budgets_and_min_size(self, spark):
         nodes, edges = _grid_graph(spark)
@@ -106,10 +116,17 @@ class TestGreedyPartitioners:
         nodes, edges = _grid_graph(spark)
         comms = leiden_partition(nodes, edges, max_size=3).collect()
         assert comms
-        covered = set()
+        covered = []
         for c in comms:
-            covered.update(c["nodes"])
-        assert covered == set("ABCDEF")
+            assert len(c["nodes"]) <= 3  # max_size split
+            covered.extend(c["nodes"])
+        # exactly-once node coverage (the kg_louvain_check contract)
+        assert sorted(covered) == sorted(set("ABCDEF"))
+        # no induced edge emitted twice across communities
+        all_edges = [
+            (e["src"], e["dst"]) for c in comms for e in c["edges"]
+        ]
+        assert len(all_edges) == len(set(all_edges))
 
 
 class TestTriplePartition:
