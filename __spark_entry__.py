@@ -1342,36 +1342,6 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_qa_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluate operator over generated QA: token length + MTLD
-    lexical diversity per generation mode (rows-only: MTLD is an
-    order-dependent scan, reference mtld_evaluator.py)."""
-    from graphgen_spark.operators.evaluate import evaluate_qa
-    from graphgen_spark.operators.generate import generate_qa
-
-    batches = _kg_batches(spark, sf_dir)
-    qa = None
-    for mode in ("atomic", "aggregated", "true_false"):
-        part = generate_qa(batches, mode=mode)
-        qa = part if qa is None else qa.unionByName(part)
-    return (
-        evaluate_qa(qa)
-        .groupBy("mode")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("answer_tokens"), 4).alias("avg_answer_tokens"),
-            F.round(F.avg("mtld"), 4).alias("avg_mtld"),
-            F.round(F.avg("reward_score"), 4).alias("avg_reward"),
-            F.round(F.avg("naturalness"), 4).alias("avg_naturalness"),
-            F.round(F.avg("coherence"), 4).alias("avg_coherence"),
-            F.round(F.avg("understandability"), 4).alias(
-                "avg_understandability"
-            ),
-        )
-        .orderBy("mode")
-    )
-
-
 def _q_doc_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MTLD lexical diversity per doc (reference mtld_evaluator.py) —
     the order-dependent forward+backward factor scan, previously
@@ -2524,4 +2494,9 @@ def oracle_sql() -> dict[str, str]:
         #   and KG-level via the pure-SQL triple partitioner.
         # - media_features: payloads are hash-synthesized binaries; the
         #   byte-level plumbing is hash-checked by media_byte_hist.
+        # Removed (r4/r5, intentional): the KG-chain qa_eval_metrics
+        # query was deleted outright — its community+MTLD surface is
+        # fully covered by the hash-green qa_eval_metrics_agg,
+        # qa_eval_docs and doc_mtld, and keeping a rows-only twin paid
+        # a 40 s community build per suite run for no extra check.
     }

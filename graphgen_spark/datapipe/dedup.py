@@ -18,7 +18,6 @@ All outputs share the contract: a ``dup_groups`` frame
 
 from __future__ import annotations
 
-import logging
 from typing import Iterator
 
 import numpy as np
@@ -119,14 +118,11 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > df_cap)
             .select("shingle")
         )
-        n_hot = hot.count()
-        if n_hot:
-            logging.getLogger(__name__).info(
-                "ngram_jaccard_pairs: df_cap=%d dropped %d hot "
-                "shingles before the self-join", df_cap, n_hot,
-            )
         # hot is tiny by construction (heavy tail above the cap) —
-        # AQE turns this anti-join into a broadcast at runtime
+        # AQE turns this anti-join into a broadcast at runtime.  No
+        # eager count here: logging the hot-set size would cost a full
+        # extra pass over the persisted postings table on the scale
+        # path; the anti-join consumes the set lazily.
         sh = _persist(sh.join(hot, "shingle", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")

@@ -220,11 +220,12 @@ def connected_components(
         # collect, union-find on names (min-name representative ==
         # component_name), zero joins/shuffles downstream.  The join
         # formulation below cost ~7 s of pure job-scheduling latency
-        # for a 6k-edge alias dictionary at local[32].  `component`
-        # stays in the xxhash64-of-a-member-name id space (hash of the
-        # min-name member), matching the singleton fallback consumers
-        # use for isolated nodes; only (name, component_name) is part
-        # of the cross-path parity contract (tests/test_kg_pipeline).
+        # for a 6k-edge alias dictionary at local[32].  `component` is
+        # xxhash64(component_name) on BOTH sides of the gate (the
+        # distributed path re-derives it after computing reps), so the
+        # numeric label is stable across the threshold and matches the
+        # xxhash64(entity_name) singleton fallback consumers use for
+        # isolated nodes.
         n_raw = edges.count()
         if n_raw <= driver_max_edges:
             pairs = [(r[0], r[1]) for r in edges.collect()]
@@ -263,6 +264,14 @@ def connected_components(
     reps = named.groupBy("component").agg(
         F.min("name").alias("component_name")
     )
+    # one id space for BOTH paths: component = xxhash64 of the min
+    # member NAME (what the driver fast path above emits), not the min
+    # member HASH — otherwise the same graph gets different numeric
+    # labels depending on which side of the driver_max_edges gate it
+    # lands on, and any consumer persisting `component` across runs
+    # that straddle the threshold sees labels change
     return named.join(reps, "component").select(
-        "name", "component", "component_name"
+        "name",
+        F.xxhash64("component_name").alias("component"),
+        "component_name",
     )

@@ -290,13 +290,27 @@ def _partition_with(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    anchor_set_bc = None
-    if anchor_names is not None:
-        names = {r[0] for r in anchor_names.collect()}
-        anchor_set_bc = units.sparkSession.sparkContext.broadcast(names)
+    # Anchor marking stays distributed: a left join tags anchor node
+    # units instead of collecting the anchor name set to the driver
+    # (anchors are "every node whose type contains X" — O(|nodes|) at
+    # web scale, far too big for a Python-set broadcast).  Seeds are
+    # only ever checked against node units IN the task's frame, so a
+    # frame-local set rebuilt from the tag is equivalent to the old
+    # global set.
+    has_anchors = anchor_names is not None
+    if has_anchors:
+        marked = anchor_names.select(
+            F.col(anchor_names.columns[0]).alias("a"),
+            F.lit(True).alias("_is_anchor"),
+        ).distinct()
+        units = units.join(marked, "a", "left")
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        anchors = anchor_set_bc.value if anchor_set_bc is not None else None
+        anchors = None
+        if has_anchors:
+            mask = (pdf["kind"] == "n") & pdf["_is_anchor"].fillna(False)
+            anchors = set(pdf.loc[mask, "a"])
+            pdf = pdf.drop(columns=["_is_anchor"])
         rows = _greedy_partition_pdf(
             pdf.drop(columns=["_bucket"]), strategy, max_units, min_units,
             max_tokens, unit_sampling, anchors,
@@ -485,37 +499,68 @@ def _membership_to_rows(
 ) -> list:
     """Backend-independent post-processing: membership vector ->
     max_size-split community rows with induced edges (reference
-    ``leiden_partitioner.py:63-117`` split semantics)."""
+    ``leiden_partitioner.py:63-117`` split semantics).
+
+    Edges are bucketed by their endpoints' (community, chunk) key in
+    ONE pass over ``edge_pairs`` — the old per-chunk rescan was
+    O(chunks x |E|) per component, quadratic on big communities."""
     by_comm: dict = {}
     for i, c in enumerate(membership):
         by_comm.setdefault(c, []).append(names[i])
-    rows = []
+    node_chunk: dict = {}
+    chunks: dict = {}
     for ci in sorted(by_comm):
         mnames = sorted(by_comm[ci])
         for s in range(0, len(mnames), max_size):
+            key = (ci, s // max_size)
             chunk = mnames[s : s + max_size]
-            cset = set(chunk)
-            cedges = [
+            chunks[key] = chunk
+            for name in chunk:
+                node_chunk[name] = key
+    edges_by_chunk: dict = {}
+    for a, b in edge_pairs:
+        ka = node_chunk.get(a)
+        if ka is not None and ka == node_chunk.get(b):
+            edges_by_chunk.setdefault(ka, []).append(
                 {"src": a, "dst": b}
-                for a, b in edge_pairs
-                if a in cset and b in cset
-            ]
-            rows.append(
-                (
-                    f"{tag}-{ci}-{s // max_size}-{chunk[0]}",
-                    chunk, cedges, len(chunk) + len(cedges), 0,
-                )
             )
+    rows = []
+    for (ci, k), chunk in chunks.items():
+        cedges = edges_by_chunk.get((ci, k), [])
+        rows.append(
+            (
+                f"{tag}-{ci}-{k}-{chunk[0]}",
+                chunk, cedges, len(chunk) + len(cedges), 0,
+            )
+        )
     return rows
 
 
 def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
-                     seed=42) -> DataFrame:
+                     seed=42,
+                     component_unit_gate: int = COMPONENT_UNIT_GATE,
+                     ) -> DataFrame:
     """Community detection per connected component: leidenalg+igraph
     when importable (reference parity,
     ``models/partitioner/leiden_partitioner.py:16-117``), else the
     deterministic pure-Python Louvain above (same modularity
-    objective, same output contract)."""
+    objective, same output contract).
+
+    Giant-component gate (same hazard the greedy partitioners gate in
+    ``_partition_with``): a web-scale giant component must not land in
+    one task's pandas frame running the pure-Python modularity search.
+    Components above ``component_unit_gate`` units are split into
+    deterministic hash buckets of their node units BEFORE the groupBy;
+    an edge unit rides with its ``a`` endpoint's bucket and survives
+    only when both endpoints share the bucket (``_leiden_index``
+    already drops dangling edges), so every node is partitioned
+    exactly once and community quality within a bucket degrades
+    gracefully — the same refinement argument as per-component
+    detection itself (communities never span components / buckets).
+    Hashing by endpoint (not by the (kind,a,b) unit key) keeps the
+    expected 1/n_buckets of intra-bucket edges instead of ~none."""
+    from pyspark.sql import Window
+
     try:
         import igraph  # noqa: F401
         import leidenalg  # noqa: F401
@@ -551,7 +596,17 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
             ],
         )
 
-    return units.groupBy("component").applyInPandas(
+    w = Window.partitionBy("component")
+    n_buckets = F.ceil(
+        F.count(F.lit(1)).over(w) / F.lit(component_unit_gate)
+    )
+    bucketed = units.withColumn(
+        "_bucket",
+        F.when(n_buckets <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("a"), n_buckets)
+        ),
+    )
+    return bucketed.groupBy("component", "_bucket").applyInPandas(
         apply_fn, schema=COMMUNITY_SCHEMA
     )
 

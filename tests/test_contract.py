@@ -45,6 +45,14 @@ def test_norm_cell_distinguishes_int_from_float():
     assert norm_cell(3549) != norm_cell(3549.0)
 
 
+def test_norm_cell_nan_is_not_null():
+    # ADVICE r4: a genuine NaN metric must not hash equal to SQL NULL
+    # in object columns; float columns conflate the two identically on
+    # both fetch paths, so the distinct token is strictly safer
+    assert norm_cell(float("nan")) == "NaN"
+    assert norm_cell(None) == "NULL"
+
+
 def test_norm_cell_rejects_non_scalars():
     import pytest
 

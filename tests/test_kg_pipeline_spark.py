@@ -331,12 +331,14 @@ class TestCCHybridPaths:
             for _ in range(400)
         ] + [("iso_a", "iso_b")]
         df = spark.createDataFrame(edges, ["src_id", "tgt_id"])
+        # full-row parity including the NUMERIC label: both paths emit
+        # component = xxhash64(component_name), one shared id space
         local = {
-            (r["name"], r["component_name"])
+            (r["name"], r["component"], r["component_name"])
             for r in connected_components(df).collect()
         }
         distributed = {
-            (r["name"], r["component_name"])
+            (r["name"], r["component"], r["component_name"])
             for r in connected_components(
                 df, driver_max_edges=0
             ).collect()

@@ -311,6 +311,44 @@ class TestGiantComponentGate:
         top = comms.agg(F.max("n_units")).collect()[0][0]
         assert top <= 10 + 10  # budget checked pre-add like the ref
 
+    def test_mega_component_bounded_frames_louvain(self, spark):
+        """VERDICT r4 top item: the Louvain/Leiden path gets the same
+        gate — a giant component is hash-bucketed by node endpoint
+        before its applyInPandas, so no single task runs the
+        pure-Python modularity search over the whole component, and
+        the partition contract (exactly-once membership, max_size cap)
+        holds across buckets."""
+        n = 30_000  # 59_999 units in one chain component
+        nodes = spark.range(n).select(
+            F.format_string("n%07d", F.col("id")).alias("entity_name"),
+            F.lit(3).cast("long").alias("length"),
+        )
+        edges = spark.range(n - 1).select(
+            F.format_string("n%07d", F.col("id")).alias("src_id"),
+            F.format_string("n%07d", F.col("id") + 1).alias("tgt_id"),
+            F.lit(4).cast("long").alias("length"),
+        )
+        comms = leiden_partition(
+            nodes, edges, max_size=20, component_unit_gate=10_000,
+        ).localCheckpoint(eager=True)
+        agg = comms.select(
+            F.sum(F.size("nodes")).alias("covered"),
+            F.max(F.size("nodes")).alias("biggest"),
+        ).collect()[0]
+        assert agg["covered"] == n          # every node exactly once...
+        assert agg["biggest"] <= 20         # ...under the size cap
+        dup_nodes = (
+            comms.select(F.explode("nodes").alias("x"))
+            .groupBy("x").count().where(F.col("count") > 1).count()
+        )
+        assert dup_nodes == 0               # ...in exactly one community
+        dup_edges = (
+            comms.select(F.explode("edges").alias("e"))
+            .groupBy("e.src", "e.dst").count()
+            .where(F.col("count") > 1).count()
+        )
+        assert dup_edges == 0               # no induced edge twice
+
     def test_gate_parity_on_small_components(self, spark):
         """Below the gate the bucketed path is the identical single
         frame: outputs match the ungated baseline exactly."""

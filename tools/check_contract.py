@@ -18,6 +18,18 @@ fetched results through a different code path than the driver:
   column, which raises on list cells (``TypeError: unhashable type``).
   -> hard-fail here on ANY non-scalar cell so an array-typed output
   column can never pass locally.
+
+NaN vs NULL: a float NaN hashes as the DISTINCT token 'NaN', not
+'NULL'.  Both fetch paths render SQL NULL in a float64 column as NaN
+(Spark ``toPandas()`` and DuckDB ``rel.df()`` alike), so inside float
+columns the two are indistinguishable post-fetch on BOTH sides
+symmetrically and the token choice cannot flip a verdict there; the
+distinct token matters for object-typed columns, where a genuine NaN
+value (e.g. 0.0/0.0 in a metric) must not silently hash equal to a
+true None.  (The driver's own conflation behavior is unobservable
+from this sandbox — this is the conservative reading: anything that
+hashes green here hashes green there for all-scalar, NaN-free
+outputs, which every oracle query in the registry is.)
 """
 
 from __future__ import annotations
@@ -52,7 +64,7 @@ def norm_cell(v):
         return str(int(v))
     if isinstance(v, (float, np.floating)):
         if pd.isna(v):
-            return "NULL"
+            return "NaN"  # distinct from NULL — see module docstring
         # full-precision repr of the PANDAS dtype: float64(3549.0)
         # must NOT hash equal to int64(3549) — that exact divergence
         # (DuckDB HUGEINT -> pandas float64) was invisible for three
