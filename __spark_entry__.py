@@ -226,6 +226,46 @@ def _q_kg_triple_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def _q_kg_triple_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-accuracy evaluate operator, ORACLE-CHECKED (VERDICT r4
+    #3): with whole-doc chunks the chunk->unit lineage join and the
+    deterministic judge arithmetic are pure functions of pages.text,
+    so DuckDB re-derives the per-chunk unit counts from the mention
+    regex and replays the judge formula exactly (integer micros; the
+    predicted accuracy of exactly 1.0 is itself a real assertion that
+    every extracted unit has literal mention support in its chunk).
+    The chunked 512/64 configuration of the same operator stays
+    rows-only (kg_triple_eval).  Reference:
+    operators/evaluate/evaluate_triple.py:13-28 +
+    models/evaluator/triple/accuracy_evaluator.py:24-94."""
+    from graphgen_spark.operators.chunking import chunk_documents
+    from graphgen_spark.operators.evaluate import evaluate_triples
+    from graphgen_spark.operators.kg_extract import extract_records
+
+    pages = _pages_for(spark, sf_dir)
+    chunks = chunk_documents(
+        pages, chunk_size=1_000_000_000, chunk_overlap=0
+    )
+    records = extract_records(chunks)
+    scored = evaluate_triples(chunks, records)
+    micro = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
+    return scored.select(
+        "url",
+        "n_entities",
+        "n_relations",
+        micro("entity_accuracy.accuracy").alias("entity_accuracy_micro"),
+        micro("entity_accuracy.completeness").alias(
+            "entity_completeness_micro"
+        ),
+        micro("entity_accuracy.overall_score").alias(
+            "entity_overall_micro"
+        ),
+        micro("relation_accuracy.overall_score").alias(
+            "relation_overall_micro"
+        ),
+    ).orderBy("url")
+
+
 def _labels_for(spark: SparkSession) -> DataFrame:
     """Session-cached alias-CC label table: a static per-release asset
     shared by every linked KG query in one driver/bench session (the
@@ -449,6 +489,47 @@ def _kg_qa_fib_oracle() -> str:
                regexp_extract(g, '(?i)(' || obj || ')', 1) AS answer
         FROM gated
         WHERE regexp_matches(g, '(?i)' || obj)
+        ORDER BY community_id, question
+    """
+
+
+def _kg_qa_masked_fib_oracle() -> str:
+    """masked_fill_in_blank over triple communities: the masked node is
+    picked by the engine-portable md5-prefix hash of the community id
+    (generate.py — r5 swapped the one crc32 pick for the md5 idiom
+    every other kernel uses, which is exactly what makes this mode
+    oracle-checkable), EVERY case-insensitive occurrence in the gated
+    edge description is masked with '{ }', the answer is the FIRST
+    occurrence's surface form, and no-occurrence rows are skipped
+    (reference masked_fill_in_blank_generator.py:86-135 shape).
+    nodes sorted by entity_name = [subj, obj] (subj < obj upstream),
+    so pick % 2 = 0 masks subj."""
+    desc, _ = _gate_sql("descr")
+    return f"""{_kg_oracle_ctes(linked=True)},
+        merged AS (
+            SELECT subj, obj,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM triples
+            GROUP BY subj, obj
+        ),
+        gated AS (
+            SELECT subj || '::' || obj AS community_id, subj, obj,
+                   {desc} AS g
+            FROM merged
+        ),
+        picked AS (
+            SELECT community_id, g,
+                   CASE WHEN ('0x' || substr(md5(community_id), 1, 8))
+                                 ::BIGINT % 2 = 0
+                        THEN subj ELSE obj END AS name
+            FROM gated
+        )
+        SELECT community_id,
+               regexp_replace(g, '(?i)' || name, '{{ }}', 'g')
+                   AS question,
+               regexp_extract(g, '(?i)(' || name || ')', 1) AS answer
+        FROM picked
+        WHERE regexp_matches(g, '(?i)' || name)
         ORDER BY community_id, question
     """
 
@@ -756,6 +837,72 @@ def _q_kg_communities_louvain(
     )
 
 
+def _check_rows(*dfs: DataFrame) -> DataFrame:
+    """Fold single-row aggregate frames into (check_name, value) rows —
+    the long format the conservation-law check queries emit."""
+    out = None
+    for df in dfs:
+        for c in df.columns:
+            one = df.select(
+                F.lit(c).alias("check_name"),
+                F.col(c).cast("long").alias("value"),
+            )
+            out = one if out is None else out.unionByName(one)
+    return out.orderBy("check_name")
+
+
+def _q_kg_ece_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked conservation laws for the ECE partitioner over the
+    CHUNKED (512/64) graph — the surface that fell past the driver
+    window in r4 (VERDICT r4 #5).  Exact memberships depend on the
+    loss-ordered greedy growth (not SQL), but the partition contract
+    is: every node/edge unit of the chunked KG lands in exactly one
+    community, token sums are conserved, and no community violates the
+    max_units / token-budget caps.  The chunk-boundary universe is NOT
+    SQL-expressible — but the chunker is deterministic pure Python, so
+    the oracle reads a materialized chunk parquet (synth.
+    materialize_chunks_parquet, same split kernels) and re-derives the
+    node/edge universes + gated lengths from chunk contents via the
+    same CTE chain the whole-doc checks use.  The loss attach
+    (quiz -> judge) runs for fidelity to the reference ECE flow
+    (ece_partitioner.py:56-157); losses only order the growth and
+    cannot affect any conservation law.  min_units=1 keeps coverage
+    exact (the reference's min-size drop is exercised by the rows-only
+    kg_communities); max_tokens=256 makes the budget stop non-vacuous."""
+    from graphgen_spark.operators.partitioners import ece_partition
+    from graphgen_spark.operators.probe import attach_losses, judge, quiz
+
+    nodes, edges = _kg_nodes_edges(spark, sf_dir)
+    losses = judge(quiz(nodes, edges, quiz_samples=1))
+    nodes_l, edges_l = attach_losses(nodes, edges, losses)
+    comms = ece_partition(
+        nodes_l, edges_l, max_units=20, min_units=1, max_tokens=256,
+        unit_sampling="max_loss",
+    ).localCheckpoint(eager=True)
+
+    agg = comms.agg(
+        F.sum("n_units").cast("long").alias("units_total"),
+        F.sum("token_sum").cast("long").alias("token_sum_total"),
+        F.sum((F.col("n_units") > 20).cast("long")).alias(
+            "oversize_communities"
+        ),
+        # greedy adds stop once token_sum >= max_tokens; one gated unit
+        # (<=200 tokens) may land past the line, never two
+        F.sum((F.col("token_sum") >= 256 + 200).cast("long")).alias(
+            "overbudget_communities"
+        ),
+    )
+    nodes_m = comms.select(F.explode("nodes").alias("n")).agg(
+        F.count(F.lit(1)).alias("node_memberships"),
+        F.countDistinct("n").alias("distinct_nodes_covered"),
+    )
+    edges_m = comms.select(F.explode("edges").alias("e")).agg(
+        F.count(F.lit(1)).alias("edge_memberships"),
+        F.countDistinct("e.src", "e.dst").alias("distinct_edges_covered"),
+    )
+    return _check_rows(agg, nodes_m, edges_m)
+
+
 def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked community INVARIANTS for the greedy BFS partitioner
     (reference bfs_partitioner.py semantics): exact membership depends
@@ -797,23 +944,7 @@ def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("edge_memberships"),
         F.countDistinct("e.src", "e.dst").alias("distinct_edges_covered"),
     )
-
-    def rows(df: DataFrame) -> DataFrame:
-        out = None
-        for c in df.columns:
-            one = df.select(
-                F.lit(c).alias("check_name"),
-                F.col(c).cast("long").alias("value"),
-            )
-            out = one if out is None else out.unionByName(one)
-        return out
-
-    return (
-        rows(agg)
-        .unionByName(rows(nodes_m))
-        .unionByName(rows(edges_m))
-        .orderBy("check_name")
-    )
+    return _check_rows(agg, nodes_m, edges_m)
 
 
 def _q_kg_louvain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,23 +977,7 @@ def _q_kg_louvain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) - F.countDistinct("e.src", "e.dst")
         ).alias("duplicate_edge_memberships"),
     )
-
-    def rows(df: DataFrame) -> DataFrame:
-        out = None
-        for c in df.columns:
-            one = df.select(
-                F.lit(c).alias("check_name"),
-                F.col(c).cast("long").alias("value"),
-            )
-            out = one if out is None else out.unionByName(one)
-        return out
-
-    return (
-        rows(agg)
-        .unionByName(rows(nodes_m))
-        .unionByName(rows(edges_m))
-        .orderBy("check_name")
-    )
+    return _check_rows(agg, nodes_m, edges_m)
 
 
 def _q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,14 +1606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this)."""
     return {
         # --- oracle-backed (hash-checked by the driver at sf0.01) ---
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
         "doc_token_stats": _q_doc_token_stats,
         "doc_bpe_token_stats": _q_doc_bpe_token_stats,
         "exact_dup_groups": _q_exact_dup_groups,
         "events_windows": _q_events_windows,
         "filter_range": _q_filter_range,
-        "parts_never_ordered": _q_parts_never_ordered,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "supplier_part_degrees": _q_supplier_part_degrees,
         "events_sessions": _q_events_sessions,
@@ -1535,6 +1647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
         "kg_qa_quiz_triple": _mk_kg_qa_triple("quiz"),
         "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
+        "kg_qa_masked_fib_triple": _mk_kg_qa_triple(
+            "masked_fill_in_blank"
+        ),
+        "kg_triple_eval_scores": _q_kg_triple_eval_scores,
+        "kg_ece_check": _q_kg_ece_check,
         "fill_in_blank_docs": _q_fill_in_blank_docs,
         "multi_choice_docs": _q_multi_choice_docs,
         "masked_fill_docs": _q_masked_fill_docs,
@@ -1555,6 +1672,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_masked_fib": _mk_kg_qa_mode("masked_fill_in_blank"),
         "kg_qa_quiz": _mk_kg_qa_mode("quiz"),
         "kg_qa_vqa": _q_kg_qa_vqa,
+        # pricing_summary / top_customers / parts_never_ordered were
+        # DEMOTED from the window in r5 to make room for three queries
+        # that exercise unique engine machinery (masked-fib generation,
+        # triple-eval lineage scoring, chunked-ECE conservation); the
+        # TPC-H trio checks only generic agg/join/anti-join shapes that
+        # a dozen window queries already cover, and stays hash-verified
+        # locally via DEMOTED_ORACLES + tests/test_demoted_oracles.py.
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "parts_never_ordered": _q_parts_never_ordered,
     }
 
 
@@ -1849,6 +1976,170 @@ def _kg_communities_check_oracle() -> str:
     """
 
 
+def _kg_triple_eval_scores_oracle() -> str:
+    """DuckDB replay of the whole-doc triple-eval scores: unit counts
+    from the mention CTEs (first-occurrence entities per chunk=doc,
+    one relation per match), judge arithmetic as literal formula with
+    accuracy predicted 1.0 (every unit's surface form is in the doc by
+    construction of whole-doc extraction — a miss would hash-fail)."""
+    return f"""{_kg_node_merged_ctes()},
+        rstat AS (
+            SELECT url, count(*) AS n_relations FROM m GROUP BY url
+        ),
+        estat AS (
+            SELECT url, count(*) AS n_entities FROM ent GROUP BY url
+        ),
+        j AS (
+            SELECT e.url,
+                   CAST(e.n_entities AS INT) AS n_entities,
+                   CAST(r.n_relations AS INT) AS n_relations,
+                   round(least(1.0, e.n_entities / 8.0), 6) AS comp_e,
+                   round(least(1.0, (2 * r.n_relations) / 8.0), 6)
+                       AS comp_r
+            FROM estat e JOIN rstat r ON e.url = r.url
+        )
+        SELECT url, n_entities, n_relations,
+               CAST(1000000 AS BIGINT) AS entity_accuracy_micro,
+               CAST(round(comp_e * 1000000) AS BIGINT)
+                   AS entity_completeness_micro,
+               CAST(round(round((1.0 + comp_e + 1.0) / 3.0, 6) * 1000000)
+                    AS BIGINT) AS entity_overall_micro,
+               CAST(round(round((1.0 + comp_r + 1.0) / 3.0, 6) * 1000000)
+                    AS BIGINT) AS relation_overall_micro
+        FROM j
+        ORDER BY url
+    """
+
+
+def _kg_chunks_oracle_path() -> str:
+    from graphgen_spark.synth import materialize_chunks_parquet
+
+    return materialize_chunks_parquet(
+        _ORACLE_SF_DIR,
+        os.path.join(
+            _ORACLE_DIR,
+            f"chunks_sf001_e{N_SYNTH_ENTITIES}_c512_o64.parquet",
+        ),
+        N_SYNTH_ENTITIES, chunk_size=512, chunk_overlap=64,
+    )
+
+
+def _kg_ece_check_oracle() -> str:
+    """Independent DuckDB prediction of the chunked-graph ECE
+    conservation laws: the chunk table is a materialized deterministic
+    asset (synth.materialize_chunks_parquet — same pure-Python split
+    kernels the Spark chunker runs), and the node/edge universes +
+    gated token lengths are re-derived from CHUNK contents with the
+    same CTE shapes the hash-green whole-doc checks use (first
+    entity occurrence per chunk, one relation per match, canonical
+    linking via the independent label parquet, sorted-distinct capped
+    merge, 200-token gate).  Cap violations predicted as 0."""
+    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
+
+    chunks_path = _kg_chunks_oracle_path()
+    _, labels_path = _kg_oracle_paths()
+    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
+    assert "'" not in en and "'" not in zh
+    _, length = _gate_sql("descr")
+    return f"""
+        WITH chunks AS (
+            SELECT chunk_id, url, content
+            FROM read_parquet('{chunks_path}')
+        ),
+        m AS (
+            SELECT chunk_id,
+                   unnest(range(1, len(regexp_extract_all(content,
+                                '{en}', 1)) + 1)) AS ord,
+                   unnest(regexp_extract_all(content, '{en}', 1)) AS s,
+                   unnest(regexp_extract_all(content, '{en}', 2)) AS v,
+                   unnest(regexp_extract_all(content, '{en}', 3)) AS t,
+                   unnest(regexp_extract_all(content, '{en}', 0)) AS sent
+            FROM chunks
+            UNION ALL
+            SELECT chunk_id,
+                   1000000 +
+                   unnest(range(1, len(regexp_extract_all(content,
+                                '{zh}', 1)) + 1)) AS ord,
+                   unnest(regexp_extract_all(content, '{zh}', 1)) AS s,
+                   unnest(regexp_extract_all(content, '{zh}', 2)) AS v,
+                   unnest(regexp_extract_all(content, '{zh}', 3)) AS t,
+                   unnest(regexp_extract_all(content, '{zh}', 0)) AS sent
+            FROM chunks
+        ),
+        occ AS (
+            SELECT chunk_id, alias, sent,
+                   row_number() OVER (
+                       PARTITION BY chunk_id, alias ORDER BY ordkey
+                   ) AS rn
+            FROM (
+                SELECT chunk_id, s AS alias, sent, 2 * ord AS ordkey
+                FROM m
+                UNION ALL
+                SELECT chunk_id, t AS alias, sent, 2 * ord + 1 AS ordkey
+                FROM m
+            )
+        ),
+        ent AS (
+            SELECT chunk_id, alias,
+                   alias || ' is mentioned in: ' || sent AS descr
+            FROM occ WHERE rn = 1
+        ),
+        lab AS (
+            SELECT alias_norm, canonical_key
+            FROM read_parquet('{labels_path}')
+        ),
+        nmerged AS (
+            SELECT coalesce(l.canonical_key, upper(e.alias))
+                       AS entity_name,
+                   {_MERGED_DESCR.format(v='e.descr')} AS descr
+            FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
+            GROUP BY entity_name
+        ),
+        linked AS (
+            SELECT coalesce(ls.canonical_key, upper(m.s)) AS cs,
+                   coalesce(lt.canonical_key, upper(m.t)) AS ct,
+                   m.s || ' ' || m.v || ' ' || m.t AS pred
+            FROM m
+            LEFT JOIN lab ls ON upper(m.s) = ls.alias_norm
+            LEFT JOIN lab lt ON upper(m.t) = lt.alias_norm
+        ),
+        emerged AS (
+            SELECT least(cs, ct) AS src_id, greatest(cs, ct) AS tgt_id,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM linked WHERE cs <> ct
+            GROUP BY least(cs, ct), greatest(cs, ct)
+        ),
+        estat AS (
+            SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
+            FROM emerged
+        ),
+        nstat AS (
+            SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
+            FROM nmerged
+        )
+        SELECT check_name, value FROM (
+            SELECT 'distinct_edges_covered' AS check_name,
+                   CAST(n AS BIGINT) AS value FROM estat
+            UNION ALL
+            SELECT 'distinct_nodes_covered', CAST(n AS BIGINT) FROM nstat
+            UNION ALL
+            SELECT 'edge_memberships', CAST(n AS BIGINT) FROM estat
+            UNION ALL
+            SELECT 'node_memberships', CAST(n AS BIGINT) FROM nstat
+            UNION ALL
+            SELECT 'overbudget_communities', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'oversize_communities', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'token_sum_total', nstat.tok + estat.tok
+            FROM nstat, estat
+            UNION ALL
+            SELECT 'units_total', CAST(nstat.n + estat.n AS BIGINT)
+            FROM nstat, estat
+        ) ORDER BY check_name
+    """
+
+
 def _pages_host_cap_oracle() -> str:
     pages_path, _ = _kg_oracle_paths()
     return f"""
@@ -2028,6 +2319,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_qa_cot_triple": _kg_qa_cot_oracle(),
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
+        "kg_qa_masked_fib_triple": _kg_qa_masked_fib_oracle(),
+        "kg_triple_eval_scores": _kg_triple_eval_scores_oracle(),
+        "kg_ece_check": _kg_ece_check_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
         "minhash_dedup_groups": _minhash_groups_oracle(),
         "doc_mtld": _doc_mtld_oracle(),
@@ -2068,30 +2362,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, cum_tokens
         """,
         "pages_host_cap": _pages_host_cap_oracle(),
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_discount) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
-        """,
-        "top_customers": """
-            SELECT c_custkey, c_name, n_name,
-                   sum(o_totalprice) AS total_spent,
-                   count(*) AS n_orders
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY c_custkey, c_name, n_name
-            ORDER BY total_spent DESC, c_custkey ASC
-            LIMIT 20
-        """,
         "doc_token_stats": r"""
             SELECT lang,
                    count(*) AS n_docs,
@@ -2134,12 +2404,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= 200 AND n_chars < 400
             ORDER BY doc_id
-        """,
-        "parts_never_ordered": """
-            SELECT p_partkey, p_name FROM part
-            WHERE p_partkey NOT IN
-                (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
-            ORDER BY p_partkey
         """,
         "doc_fingerprint_dups": r"""
             WITH fp AS (
@@ -2500,3 +2764,41 @@ def oracle_sql() -> dict[str, str]:
         # qa_eval_docs and doc_mtld, and keeping a rows-only twin paid
         # a 40 s community build per suite run for no extra check.
     }
+
+
+# Oracles for the TPC-H queries demoted out of the driver window in r5
+# (see the queries() tail comment).  Excluded from oracle_sql() so they
+# don't consume window slots; tests/test_demoted_oracles.py keeps them
+# hash-verified against DuckDB at sf0.001 every suite run.
+DEMOTED_ORACLES: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, n_name,
+               sum(o_totalprice) AS total_spent,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY total_spent DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "parts_never_ordered": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey NOT IN
+            (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+        ORDER BY p_partkey
+    """,
+}

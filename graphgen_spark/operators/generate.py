@@ -31,8 +31,8 @@ Formatting stays a native ``struct()`` projection (codegen).
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -216,11 +216,17 @@ def _gen_rows(cid, nodes, edges, mode, num_of_questions):
     elif mode == "masked_fill_in_blank":
         # reference: rephrase the batch, then mask one node name chosen
         # at random (seeded); here the choice is a hash of the
-        # community id so it is stable across partitions and runs
+        # community id so it is stable across partitions and runs.
+        # md5-prefix int, not crc32: the same idiom the MinHash kernel
+        # uses, portable to any engine (DuckDB:
+        # ('0x'||substr(md5(cid),1,8))::BIGINT) so the mode is
+        # oracle-checkable like its 9 siblings.
         if not nodes or not edges:
             return rows
         context = " ".join(e["description"] for e in edges)
-        pick = zlib.crc32(cid.encode()) % len(nodes)
+        pick = int.from_bytes(
+            hashlib.md5(cid.encode()).digest()[:4], "big"
+        ) % len(nodes)
         name = nodes[pick]["entity_name"]
         m = re.search(re.escape(name), context, re.IGNORECASE)
         if not m:

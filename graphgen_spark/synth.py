@@ -358,6 +358,62 @@ def materialize_pages_parquet(
     return out_path
 
 
+def materialize_chunks_parquet(
+    sf_dir: str, out_path: str, n_entities: int = 2000,
+    chunk_size: int = 512, chunk_overlap: int = 64,
+) -> str:
+    """Write (chunk_id, url, content, language): the chunk table of the
+    CHUNKED pipeline configuration, materialized WITHOUT Spark by the
+    same pure-Python kernels ``chunk_documents`` / the fused extractor
+    drive (detect_main_language -> split_text(length_fn=count_tokens)
+    -> md5 chunk id).  Chunk boundaries are procedural, not SQL — but
+    the chunker is deterministic, so landing its output as a parquet
+    asset lets DuckDB re-derive the chunk-level mention universe and
+    hash-check the chunked graph's conservation laws (kg_ece_check)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphgen_spark.splitter import split_text
+    from graphgen_spark.textkit import (
+        count_tokens,
+        detect_main_language,
+        md5_hex,
+    )
+
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cids, urls, contents, langs = [], [], [], []
+    for pid in tbl.column("doc_id").to_pylist():
+        url, _lang, text, _ = gen_page(int(pid), n_entities)
+        if not text.strip():
+            continue
+        language = detect_main_language(text)
+        for piece in split_text(
+            text, language=language, chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap, length_fn=count_tokens,
+        ):
+            cids.append("chunk-" + md5_hex(piece))
+            urls.append(url)
+            contents.append(piece)
+            langs.append(language)
+    out = pa.table(
+        {
+            "chunk_id": cids,
+            "url": urls,
+            "content": contents,
+            "language": langs,
+        }
+    )
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def materialize_alias_labels_parquet(
     out_path: str, n_entities: int = 2000
 ) -> str:
