@@ -53,6 +53,33 @@ class TestSynthAndExtractText:
 
 
 class TestChunking:
+    def test_chunk_materializer_parity(self, spark, tmp_path):
+        """The kg_ece_check oracle's foundation: the plain-pyarrow
+        chunk materializer (synth.materialize_chunks_parquet) must
+        emit the EXACT chunk multiset the Spark chunker produces for
+        the same corpus — same split kernels, same md5 ids."""
+        import pandas as pd
+
+        out = str(tmp_path / "chunks.parquet")
+        synth.materialize_chunks_parquet(
+            "/root/testdata/sf0.001", out, n_entities=2000,
+            chunk_size=512, chunk_overlap=64,
+        )
+        mat = pd.read_parquet(out)
+
+        import __spark_entry__ as entrymod
+
+        pages_df = entrymod._pages_for(spark, "/root/testdata/sf0.001")
+        spark_chunks = chunk_documents(
+            pages_df, chunk_size=512, chunk_overlap=64
+        ).select("chunk_id", "url", "content").toPandas()
+
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df[["chunk_id", "url", "content"]].values)
+        )
+        assert len(mat) == len(spark_chunks) > 0
+        assert key(mat) == key(spark_chunks)
+
     def test_chunks_cover_docs(self, spark, pages):
         chunks = chunk_documents(pages, chunk_size=256, chunk_overlap=32)
         urls_in = {r["url"] for r in pages.select("url").collect()}
