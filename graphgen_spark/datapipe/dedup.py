@@ -234,6 +234,7 @@ def minhash_verified_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_perm: int = 64, bands: int = 16,
     threshold: float = 0.8, seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Signatures -> band buckets -> candidate pairs -> exact
     shingle-Jaccard verification.  Returns (a, b, jaccard_micro) with
@@ -244,7 +245,21 @@ def minhash_verified_pairs(
 
     Scale shape: the only joins are (bucket self-join) and (pair
     verification vs the shingle postings); both are hash joins on
-    bounded keys — candidate generation is linear in corpus size."""
+    bounded keys — candidate generation is linear in corpus size
+    PROVIDED no band bucket degenerates.
+
+    ``bucket_cap``: drop (band, bucket) groups holding more than this
+    many docs before the self-join — the LSH twin of the ngram
+    ``df_cap``.  A bucket of m docs contributes C(m,2) candidates and
+    each candidate then multiplies by its docs' full shingle lists in
+    the verification join, so one hot bucket is an n² term twice over.
+    Hot buckets on web corpora come from degenerate docs (near-empty
+    shingle sets, boilerplate clusters): measured on the 160k-page
+    synthetic corpus, one bucket held 1 423 docs and pushed the
+    uncapped wall to ~19 min (BENCH_SCALING.jsonl dfcap lines).  What
+    a cap drops is either an exact-duplicate cluster (exact_dedup's
+    job, one hash shuffle) or degenerate — the same recall argument as
+    df_cap."""
     rows_per_band = num_perm // bands
     # both sides of the bucket self-join scan the signatures — persist
     # so the Python MinHash hop runs once, not twice
@@ -274,6 +289,18 @@ def minhash_verified_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+    if bucket_cap is not None:
+        # the hot set is tiny by construction (heavy tail above the
+        # cap) — AQE broadcasts the anti-join; consumed lazily, no
+        # eager count (same shape as the ngram df_cap filter)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .where(F.col("m") > bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
 
     left = banded.select(
         F.col("doc_id").alias("a"), "band", "bucket"

@@ -7,7 +7,7 @@ bounded at df_cap^2 per shingle) tracks the postings volume.
 
 Usage:
   spark-submit --master local[N] tools/dfcap_run.py <n_pages> \
-      <ngram_cap|none|skip> [minhash|nominhash] [bands]
+      <ngram_cap|none|skip> [minhash|nominhash] [bands] [bucket_cap|none]
 
 ``bands`` (default 8) sizes the MinHash LSH banding: rows_per_band =
 64 // bands.  On this corpus (heavy shared filler => typical cross-doc
@@ -42,6 +42,8 @@ n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 cap_arg = sys.argv[2] if len(sys.argv) > 2 else "100"
 do_minhash = (sys.argv[3] if len(sys.argv) > 3 else "nominhash") == "minhash"
 bands = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+bucket_cap_arg = sys.argv[5] if len(sys.argv) > 5 else "none"
+bucket_cap = None if bucket_cap_arg == "none" else int(bucket_cap_arg)
 
 spark = SparkSession.builder.appName("dfcap_run").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
@@ -79,6 +81,7 @@ if cap_arg != "skip":
 if do_minhash:
     t0 = time.time()
     n = minhash_verified_pairs(docs, n=3, num_perm=64, bands=bands,
-                               threshold=0.5).count()
+                               threshold=0.5,
+                               bucket_cap=bucket_cap).count()
     report("minhash_verified_pairs", None, time.time() - t0, n,
-           bands=bands)
+           bands=bands, bucket_cap=bucket_cap)
