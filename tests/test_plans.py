@@ -142,3 +142,18 @@ class TestRelationalPlans:
         assert "BroadcastNestedLoopJoin" not in p
         assert "MapInPandas" not in p
         assert "LeftAnti" in p
+
+    def test_bucket_cap_filter_is_equi_anti_join(self, spark, sf_dir):
+        """The LSH hot-bucket filter (r5) must have the same shape as
+        df_cap: an equi anti-join on (band, bucket), no cartesian, and
+        the only Python in the plan is the MinHash signature UDF."""
+        from graphgen_spark.datapipe.dedup import minhash_verified_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = minhash_verified_pairs(
+            docs, num_perm=16, bands=4, bucket_cap=50
+        )
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "LeftAnti" in p
