@@ -1811,54 +1811,64 @@ def _kg_edges_merged_oracle() -> str:
     """
 
 
-def _kg_node_merged_ctes() -> str:
-    """Shared WITH-chain for node-merge semantics: entity records (one
-    per FIRST in-doc occurrence of each alias — src checked before tgt
-    within a match, reference seen-set order; description =
-    '<alias> is mentioned in: <sentence>'), canonical linking, and the
-    capped sorted-distinct merge into ``merged(entity_name,
-    n_mentions, n_sources_capped, descr)``.  Also defines ``m`` and
-    ``lab`` so callers can derive canonical pairs."""
+def _kg_merge_ctes(
+    src: str, key: str, text: str, labels_path: str,
+    edges: bool = False,
+) -> str:
+    """The ONE copy of the mention/occ/ent/lab/merge WITH-chain body,
+    parameterized over the ``{src}({key}, {text})`` relation it scans
+    — whole docs (pages.url/text) and materialized chunks
+    (chunks.chunk_id/content) share every regex, ordering rule, and
+    merge expression through here, so an extraction-grammar or
+    gate change cannot silently diverge between the KG oracles.
+
+    Defines: ``m`` (one row per relation match: s, v, t, sent, with
+    the src-before-tgt ``ord`` key), ``occ``/``ent`` (FIRST in-{key}
+    occurrence per alias, reference seen-set order; description =
+    '<alias> is mentioned in: <sentence>'), ``lab`` (canonical
+    labels), and ``merged(entity_name, n_mentions, n_sources_capped,
+    descr)`` — the capped sorted-distinct node merge.  With
+    ``edges=True`` additionally ``linkedrel`` (per-match canonical
+    endpoint pairs) and ``emerged(src_id, tgt_id, descr)`` — the
+    canonical-ordered edge merge."""
     from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
 
-    pages_path, labels_path = _kg_oracle_paths()
     en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
     assert "'" not in en and "'" not in zh
-    return f"""
-        WITH pages AS (
-            SELECT url, text FROM read_parquet('{pages_path}')
-        ),
+    base = f"""
         m AS (
-            SELECT url,
-                   unnest(range(1, len(regexp_extract_all(text, '{en}', 1))
+            SELECT {key},
+                   unnest(range(1, len(regexp_extract_all({text}, '{en}', 1))
                                 + 1)) AS ord,
-                   unnest(regexp_extract_all(text, '{en}', 1)) AS s,
-                   unnest(regexp_extract_all(text, '{en}', 3)) AS t,
-                   unnest(regexp_extract_all(text, '{en}', 0)) AS sent
-            FROM pages
+                   unnest(regexp_extract_all({text}, '{en}', 1)) AS s,
+                   unnest(regexp_extract_all({text}, '{en}', 2)) AS v,
+                   unnest(regexp_extract_all({text}, '{en}', 3)) AS t,
+                   unnest(regexp_extract_all({text}, '{en}', 0)) AS sent
+            FROM {src}
             UNION ALL
-            SELECT url,
+            SELECT {key},
                    1000000 +
-                   unnest(range(1, len(regexp_extract_all(text, '{zh}', 1))
+                   unnest(range(1, len(regexp_extract_all({text}, '{zh}', 1))
                                 + 1)) AS ord,
-                   unnest(regexp_extract_all(text, '{zh}', 1)) AS s,
-                   unnest(regexp_extract_all(text, '{zh}', 3)) AS t,
-                   unnest(regexp_extract_all(text, '{zh}', 0)) AS sent
-            FROM pages
+                   unnest(regexp_extract_all({text}, '{zh}', 1)) AS s,
+                   unnest(regexp_extract_all({text}, '{zh}', 2)) AS v,
+                   unnest(regexp_extract_all({text}, '{zh}', 3)) AS t,
+                   unnest(regexp_extract_all({text}, '{zh}', 0)) AS sent
+            FROM {src}
         ),
         occ AS (
-            SELECT url, alias, sent,
+            SELECT {key}, alias, sent,
                    row_number() OVER (
-                       PARTITION BY url, alias ORDER BY ordkey
+                       PARTITION BY {key}, alias ORDER BY ordkey
                    ) AS rn
             FROM (
-                SELECT url, s AS alias, sent, 2 * ord AS ordkey FROM m
+                SELECT {key}, s AS alias, sent, 2 * ord AS ordkey FROM m
                 UNION ALL
-                SELECT url, t AS alias, sent, 2 * ord + 1 AS ordkey FROM m
+                SELECT {key}, t AS alias, sent, 2 * ord + 1 AS ordkey FROM m
             )
         ),
         ent AS (
-            SELECT url, alias,
+            SELECT {key}, alias,
                    alias || ' is mentioned in: ' || sent AS descr
             FROM occ WHERE rn = 1
         ),
@@ -1870,12 +1880,39 @@ def _kg_node_merged_ctes() -> str:
             SELECT coalesce(l.canonical_key, upper(e.alias))
                        AS entity_name,
                    count(*) AS n_mentions,
-                   least(count(DISTINCT e.url), 200)
+                   least(count(DISTINCT e.{key}), 200)
                        AS n_sources_capped,
                    {_MERGED_DESCR.format(v='e.descr')} AS descr
             FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
             GROUP BY entity_name
         )"""
+    if not edges:
+        return base
+    return base + f""",
+        linkedrel AS (
+            SELECT coalesce(ls.canonical_key, upper(m.s)) AS cs,
+                   coalesce(lt.canonical_key, upper(m.t)) AS ct,
+                   m.s || ' ' || m.v || ' ' || m.t AS pred
+            FROM m
+            LEFT JOIN lab ls ON upper(m.s) = ls.alias_norm
+            LEFT JOIN lab lt ON upper(m.t) = lt.alias_norm
+        ),
+        emerged AS (
+            SELECT least(cs, ct) AS src_id, greatest(cs, ct) AS tgt_id,
+                   {_MERGED_DESCR.format(v='pred')} AS descr
+            FROM linkedrel WHERE cs <> ct
+            GROUP BY least(cs, ct), greatest(cs, ct)
+        )"""
+
+
+def _kg_node_merged_ctes(edges: bool = False) -> str:
+    """The whole-doc instantiation of ``_kg_merge_ctes`` (pages
+    keyed by url over text); see there for the CTEs defined."""
+    pages_path, labels_path = _kg_oracle_paths()
+    return f"""
+        WITH pages AS (
+            SELECT url, text FROM read_parquet('{pages_path}')
+        ),{_kg_merge_ctes('pages', 'url', 'text', labels_path, edges)}"""
 
 
 def _kg_nodes_merged_oracle() -> str:
@@ -1912,42 +1949,11 @@ def _kg_communities_check_oracle() -> str:
     node/edge universes + gated token lengths re-derived from
     pages.text (same CTE chain the hash-green kg_nodes_merged /
     kg_edges_merged oracles use), cap violations predicted as 0."""
-    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
-
-    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
-    assert "'" not in en and "'" not in zh
     _, length = _gate_sql("descr")
-    return f"""{_kg_node_merged_ctes()},
-        men2 AS (
-            SELECT url,
-                   unnest(regexp_extract_all(text, '{en}', 1)) AS s,
-                   unnest(regexp_extract_all(text, '{en}', 2)) AS v,
-                   unnest(regexp_extract_all(text, '{en}', 3)) AS t
-            FROM pages
-            UNION ALL
-            SELECT url,
-                   unnest(regexp_extract_all(text, '{zh}', 1)),
-                   unnest(regexp_extract_all(text, '{zh}', 2)),
-                   unnest(regexp_extract_all(text, '{zh}', 3))
-            FROM pages
-        ),
-        linked2 AS (
-            SELECT coalesce(ls.canonical_key, upper(men2.s)) AS cs,
-                   coalesce(lt.canonical_key, upper(men2.t)) AS ct,
-                   men2.s || ' ' || men2.v || ' ' || men2.t AS pred
-            FROM men2
-            LEFT JOIN lab ls ON upper(men2.s) = ls.alias_norm
-            LEFT JOIN lab lt ON upper(men2.t) = lt.alias_norm
-        ),
-        edges2 AS (
-            SELECT least(cs, ct) AS src_id, greatest(cs, ct) AS tgt_id,
-                   {_MERGED_DESCR.format(v='pred')} AS descr
-            FROM linked2 WHERE cs <> ct
-            GROUP BY least(cs, ct), greatest(cs, ct)
-        ),
+    return f"""{_kg_node_merged_ctes(edges=True)},
         estat AS (
             SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
-            FROM edges2
+            FROM emerged
         ),
         nstat AS (
             SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
@@ -2034,88 +2040,22 @@ def _kg_ece_check_oracle() -> str:
     entity occurrence per chunk, one relation per match, canonical
     linking via the independent label parquet, sorted-distinct capped
     merge, 200-token gate).  Cap violations predicted as 0."""
-    from graphgen_spark.extraction import _REL_EN_RE, _REL_ZH_RE
-
     chunks_path = _kg_chunks_oracle_path()
     _, labels_path = _kg_oracle_paths()
-    en, zh = _REL_EN_RE.pattern, _REL_ZH_RE.pattern
-    assert "'" not in en and "'" not in zh
     _, length = _gate_sql("descr")
     return f"""
         WITH chunks AS (
             SELECT chunk_id, url, content
             FROM read_parquet('{chunks_path}')
-        ),
-        m AS (
-            SELECT chunk_id,
-                   unnest(range(1, len(regexp_extract_all(content,
-                                '{en}', 1)) + 1)) AS ord,
-                   unnest(regexp_extract_all(content, '{en}', 1)) AS s,
-                   unnest(regexp_extract_all(content, '{en}', 2)) AS v,
-                   unnest(regexp_extract_all(content, '{en}', 3)) AS t,
-                   unnest(regexp_extract_all(content, '{en}', 0)) AS sent
-            FROM chunks
-            UNION ALL
-            SELECT chunk_id,
-                   1000000 +
-                   unnest(range(1, len(regexp_extract_all(content,
-                                '{zh}', 1)) + 1)) AS ord,
-                   unnest(regexp_extract_all(content, '{zh}', 1)) AS s,
-                   unnest(regexp_extract_all(content, '{zh}', 2)) AS v,
-                   unnest(regexp_extract_all(content, '{zh}', 3)) AS t,
-                   unnest(regexp_extract_all(content, '{zh}', 0)) AS sent
-            FROM chunks
-        ),
-        occ AS (
-            SELECT chunk_id, alias, sent,
-                   row_number() OVER (
-                       PARTITION BY chunk_id, alias ORDER BY ordkey
-                   ) AS rn
-            FROM (
-                SELECT chunk_id, s AS alias, sent, 2 * ord AS ordkey
-                FROM m
-                UNION ALL
-                SELECT chunk_id, t AS alias, sent, 2 * ord + 1 AS ordkey
-                FROM m
-            )
-        ),
-        ent AS (
-            SELECT chunk_id, alias,
-                   alias || ' is mentioned in: ' || sent AS descr
-            FROM occ WHERE rn = 1
-        ),
-        lab AS (
-            SELECT alias_norm, canonical_key
-            FROM read_parquet('{labels_path}')
-        ),
-        nmerged AS (
-            SELECT coalesce(l.canonical_key, upper(e.alias))
-                       AS entity_name,
-                   {_MERGED_DESCR.format(v='e.descr')} AS descr
-            FROM ent e LEFT JOIN lab l ON upper(e.alias) = l.alias_norm
-            GROUP BY entity_name
-        ),
-        linked AS (
-            SELECT coalesce(ls.canonical_key, upper(m.s)) AS cs,
-                   coalesce(lt.canonical_key, upper(m.t)) AS ct,
-                   m.s || ' ' || m.v || ' ' || m.t AS pred
-            FROM m
-            LEFT JOIN lab ls ON upper(m.s) = ls.alias_norm
-            LEFT JOIN lab lt ON upper(m.t) = lt.alias_norm
-        ),
-        emerged AS (
-            SELECT least(cs, ct) AS src_id, greatest(cs, ct) AS tgt_id,
-                   {_MERGED_DESCR.format(v='pred')} AS descr
-            FROM linked WHERE cs <> ct
-            GROUP BY least(cs, ct), greatest(cs, ct)
-        ),
+        ),{_kg_merge_ctes('chunks', 'chunk_id', 'content', labels_path,
+                          edges=True)},
         estat AS (
             SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
             FROM emerged
         ),
         nstat AS (
             SELECT count(*) AS n, CAST(sum({length}) AS BIGINT) AS tok
-            FROM nmerged
+            FROM merged
         )
         SELECT check_name, value FROM (
             SELECT 'distinct_edges_covered' AS check_name,

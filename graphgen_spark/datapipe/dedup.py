@@ -490,12 +490,18 @@ def minhash_lsh_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_perm: int = 64, bands: int = 16,
     threshold: float = 0.8, seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash_verified_pairs -> CC grouping.
 
+    ``bucket_cap`` passes through to the pair stage (drop hot LSH
+    buckets — the measured 160k-page hot-bucket blowup, BASELINE.md
+    round 5); default ``None`` keeps the oracle-checked behavior.
+
     Returns (doc_id, group_id, keep)."""
     verified = minhash_verified_pairs(
-        docs, text_col, id_col, n, num_perm, bands, threshold, seed
+        docs, text_col, id_col, n, num_perm, bands, threshold, seed,
+        bucket_cap=bucket_cap,
     )
 
     # group verified pairs into components; keep = NUMERIC min doc_id.

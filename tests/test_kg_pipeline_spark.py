@@ -5,6 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphgen_spark import synth
+
+from tests.conftest import SF_DIR
 from graphgen_spark.operators import (
     chunk_documents,
     connected_components,
@@ -62,14 +64,14 @@ class TestChunking:
 
         out = str(tmp_path / "chunks.parquet")
         synth.materialize_chunks_parquet(
-            "/root/testdata/sf0.001", out, n_entities=2000,
+            SF_DIR, out, n_entities=2000,
             chunk_size=512, chunk_overlap=64,
         )
         mat = pd.read_parquet(out)
 
         import __spark_entry__ as entrymod
 
-        pages_df = entrymod._pages_for(spark, "/root/testdata/sf0.001")
+        pages_df = entrymod._pages_for(spark, SF_DIR)
         spark_chunks = chunk_documents(
             pages_df, chunk_size=512, chunk_overlap=64
         ).select("chunk_id", "url", "content").toPandas()
