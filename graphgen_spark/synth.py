@@ -306,7 +306,16 @@ def alias_dictionary_df(spark: SparkSession, n_entities: int) -> DataFrame:
                 columns=["alias_norm", "canonical_id", "canonical_name"],
             )
 
-    ids = spark.range(0, n_entities, 1)
+    # ≥250 entities per partition: a small release dictionary must not
+    # fan out across every core (32 near-empty Python workers cost more
+    # in startup than the synth itself — measured 5.5 s -> 1.8 s at
+    # n=2000 on local[32]); a 10M-entity dictionary still fills the
+    # cluster via the default-parallelism cap.
+    n_parts = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, n_entities // 250),
+    )
+    ids = spark.range(0, n_entities, 1, numPartitions=n_parts)
     raw = ids.mapInPandas(gen, schema=ALIAS_SCHEMA)
     return (
         raw.groupBy("alias_norm")
