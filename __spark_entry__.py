@@ -470,9 +470,10 @@ def _kg_qa_cot_oracle() -> str:
 def _kg_qa_fib_oracle() -> str:
     """fill_in_blank over triple communities: first case-insensitive
     occurrence of the canonical target name in the gated edge
-    description is masked; rows with no occurrence are skipped (the
-    entity-name charset is regex-meta-free, so a column-built RE2
-    pattern mirrors Python's re.escape'd search exactly)."""
+    description is masked; rows with no occurrence are skipped.  Names
+    are RE2-escaped (``_re_escape_sql``) exactly like the engine's
+    ``re.escape``'d search, so a name containing regex metacharacters
+    can never silently diverge (ADVICE r5)."""
     desc, _ = _gate_sql("descr")
     return f"""{_kg_oracle_ctes(linked=True)},
         merged AS (
@@ -482,13 +483,15 @@ def _kg_qa_fib_oracle() -> str:
             GROUP BY subj, obj
         ),
         gated AS (
-            SELECT subj, obj, {desc} AS g FROM merged
+            SELECT subj, obj, {_re_escape_sql('obj')} AS obj_re,
+                   {desc} AS g
+            FROM merged
         )
         SELECT subj || '::' || obj AS community_id,
-               regexp_replace(g, '(?i)' || obj, '____') AS question,
-               regexp_extract(g, '(?i)(' || obj || ')', 1) AS answer
+               regexp_replace(g, '(?i)' || obj_re, '____') AS question,
+               regexp_extract(g, '(?i)(' || obj_re || ')', 1) AS answer
         FROM gated
-        WHERE regexp_matches(g, '(?i)' || obj)
+        WHERE regexp_matches(g, '(?i)' || obj_re)
         ORDER BY community_id, question
     """
 
@@ -519,17 +522,18 @@ def _kg_qa_masked_fib_oracle() -> str:
         ),
         picked AS (
             SELECT community_id, g,
-                   CASE WHEN ('0x' || substr(md5(community_id), 1, 8))
-                                 ::BIGINT % 2 = 0
-                        THEN subj ELSE obj END AS name
+                   {_re_escape_sql(
+                       "CASE WHEN ('0x' || substr(md5(community_id),"
+                       " 1, 8))::BIGINT % 2 = 0"
+                       " THEN subj ELSE obj END")} AS name_re
             FROM gated
         )
         SELECT community_id,
-               regexp_replace(g, '(?i)' || name, '{{ }}', 'g')
+               regexp_replace(g, '(?i)' || name_re, '{{ }}', 'g')
                    AS question,
-               regexp_extract(g, '(?i)(' || name || ')', 1) AS answer
+               regexp_extract(g, '(?i)(' || name_re || ')', 1) AS answer
         FROM picked
-        WHERE regexp_matches(g, '(?i)' || name)
+        WHERE regexp_matches(g, '(?i)' || name_re)
         ORDER BY community_id, question
     """
 
@@ -563,10 +567,13 @@ def _kg_qa_quiz_oracle() -> str:
             FROM pairs
         )
         SELECT u.community_id,
-               CASE WHEN regexp_matches(n.ndesc, '(?i)' || u.name)
+               CASE WHEN regexp_matches(
+                        n.ndesc, '(?i)' || {_re_escape_sql('u.name')})
                     THEN 'Which entity is described here? ' ||
-                         regexp_replace(n.ndesc, '(?i)' || u.name,
-                                        '<entity>')
+                         regexp_replace(
+                             n.ndesc,
+                             '(?i)' || {_re_escape_sql('u.name')},
+                             '<entity>')
                     ELSE n.ndesc || ' — name the entity.'
                END AS question,
                u.name AS answer
@@ -876,8 +883,8 @@ def _q_kg_ece_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     losses = judge(quiz(nodes, edges, quiz_samples=1))
     nodes_l, edges_l = attach_losses(nodes, edges, losses)
     comms = ece_partition(
-        nodes_l, edges_l, max_units=20, min_units=1, max_tokens=256,
-        unit_sampling="max_loss",
+        nodes_l, edges_l, max_units=20, min_units=1,
+        max_tokens=_CHECK_MAX_TOKENS, unit_sampling="max_loss",
     ).localCheckpoint(eager=True)
 
     agg = comms.agg(
@@ -886,9 +893,10 @@ def _q_kg_ece_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_units") > 20).cast("long")).alias(
             "oversize_communities"
         ),
-        # greedy adds stop once token_sum >= max_tokens; one gated unit
-        # (<=200 tokens) may land past the line, never two
-        F.sum((F.col("token_sum") >= 256 + 200).cast("long")).alias(
+        # greedy adds stop once token_sum >= max_tokens; one gated
+        # unit (<= the gate cap) may land past the line, never two
+        F.sum((F.col("token_sum")
+               >= _CHECK_MAX_TOKENS + _GATE_TOKEN_CAP).cast("long")).alias(
             "overbudget_communities"
         ),
     )
@@ -921,7 +929,7 @@ def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _kg_wholedoc(spark, sf_dir, linked=True)
     comms = bfs_partition(
         kg["nodes"], kg["edges"],
-        max_units=50, min_units=1, max_tokens=256,
+        max_units=50, min_units=1, max_tokens=_CHECK_MAX_TOKENS,
     ).localCheckpoint(eager=True)
 
     agg = comms.agg(
@@ -930,9 +938,10 @@ def _q_kg_communities_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_units") > 50).cast("long")).alias(
             "oversize_communities"
         ),
-        # greedy adds stop once token_sum >= max_tokens; one gated unit
-        # (<=200 tokens) may land past the line, never two
-        F.sum((F.col("token_sum") >= 256 + 200).cast("long")).alias(
+        # greedy adds stop once token_sum >= max_tokens; one gated
+        # unit (<= the gate cap) may land past the line, never two
+        F.sum((F.col("token_sum")
+               >= _CHECK_MAX_TOKENS + _GATE_TOKEN_CAP).cast("long")).alias(
             "overbudget_communities"
         ),
     )
@@ -1768,28 +1777,55 @@ def _kg_oracle_ctes(linked: bool) -> str:
         )"""
 
 
+def _re_escape_sql(expr: str) -> str:
+    """RE2-escape an SQL string expression so entity names interpolate
+    into DuckDB regexes exactly like the engine's ``re.escape``'d
+    search (generate.py masks / quiz fallback).  Identity on the
+    metachar-free synthetic names, so oracle hashes are unchanged; a
+    future name holding ``.+*?()[]{}^$|\\`` now masks identically on
+    both engines instead of silently diverging (ADVICE r5)."""
+    return (
+        f"regexp_replace({expr},"
+        r" '([\^\$\.\|\?\*\+\(\)\[\]\{\}\\])', '\\\0', 'g')"
+    )
+
+
+# Shared token budgets (ADVICE r5: derive the gate cap and the greedy
+# max_tokens from named constants so the conservation-law overbudget
+# bounds track any future cap change).  _GATE_TOKEN_CAP is the
+# ENGINE's summary-gate cap — one source of truth with merge.py.
+from graphgen_spark.operators.merge import (  # noqa: E402
+    MAX_MERGED_VALUES as _MERGE_VALUE_CAP,
+    MAX_SUMMARY_TOKENS as _GATE_TOKEN_CAP,
+)
+
+_CHECK_MAX_TOKENS = 256  # greedy budget used by the two *_check queries
+
+
 def _gate_sql(descr: str) -> tuple[str, str]:
-    """(description, length) SQL expressions applying the 200-token
-    summary gate to a raw merged-description expression ``descr`` —
-    the DuckDB twin of operators/merge._gated_description (RE2 handles
-    the bounded {200} repetition; parity-tested via the hash gates)."""
+    """(description, length) SQL expressions applying the
+    ``_GATE_TOKEN_CAP``-token summary gate to a raw merged-description
+    expression ``descr`` — the DuckDB twin of
+    operators/merge._gated_description (RE2 handles the bounded
+    repetition; parity-tested via the hash gates)."""
     from graphgen_spark.textkit import _TOKEN_RE
 
     tok = _TOKEN_RE.pattern
     assert "'" not in tok
-    trunc = r"^(?:\s*(?:" + tok + r")){200}"
+    cap = _GATE_TOKEN_CAP
+    trunc = r"^(?:\s*(?:" + tok + r")){%d}" % cap
     n_tok = f"len(regexp_extract_all({descr}, '{tok}'))"
     desc = (
-        f"CASE WHEN {n_tok} < 200 THEN {descr} "
+        f"CASE WHEN {n_tok} < {cap} THEN {descr} "
         f"ELSE regexp_extract({descr}, '{trunc}') END"
     )
-    length = f"CAST(least({n_tok}, 200) AS INT)"
+    length = f"CAST(least({n_tok}, {cap}) AS INT)"
     return desc, length
 
 
 _MERGED_DESCR = (
-    "array_to_string(list_sort(list_distinct(list({v})))[1:200],"
-    " '<SEP>')"
+    "array_to_string(list_sort(list_distinct(list({v})))[1:%d],"
+    " '<SEP>')" % _MERGE_VALUE_CAP
 )
 
 

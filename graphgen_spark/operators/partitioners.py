@@ -572,6 +572,23 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         names, edge_idx, edge_pairs = _leiden_index(pdf)
+        # no-silent-caps rule (ADVICE r5): a gated giant component
+        # expects ~ (1 - 1/n_buckets) of its edges to cross buckets
+        # and be dropped from community induction — record the loss
+        # loudly instead of silently (executor log; surfaces in the
+        # driver stderr on local mode).
+        n_edge_units = int((pdf["kind"] == "e").sum())
+        dropped = n_edge_units - len(edge_pairs)
+        if dropped > 0:
+            import logging
+
+            logging.getLogger("graphgen_spark.partitioners").warning(
+                "leiden gate: component %s bucket %s dropped %d/%d "
+                "cross-bucket edge units from community induction",
+                pdf["component"].iloc[0] if len(pdf) else "?",
+                pdf["_bucket"].iloc[0] if "_bucket" in pdf else 0,
+                dropped, n_edge_units,
+            )
         if have_leiden:
             import igraph as ig
             import leidenalg as la
