@@ -230,6 +230,18 @@ def minhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
+# The config runner's default hot-bucket cap (``bucket_cap: auto``).
+# Measured on the synthetic web corpus (BENCH_SCALING.jsonl, BASELINE.md
+# r5): at 160k pages / bands=4 one (band,bucket) group held 1 423 docs
+# and cost 1 147 s uncapped vs 117 s at cap=100, while every genuine
+# near-dup cluster stayed far below 100 members.  A cap ~100 keeps the
+# per-bucket candidate term <= C(100,2) regardless of corpus size; what
+# it drops is exact-duplicate mass (exact_dedup's job) or degenerate
+# boilerplate.  Library functions keep ``bucket_cap=None`` defaults so
+# explicit callers and the oracle-checked queries are unchanged.
+AUTO_BUCKET_CAP = 100
+
+
 def minhash_verified_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_perm: int = 64, bands: int = 16,
