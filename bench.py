@@ -112,7 +112,7 @@ def main() -> None:
     timings["kg_pipeline"] = round(t_kg, 3)
     timings["kg_dict_prep"] = round(t_dict, 3)
 
-    # Per-query wall = min of 2 runs (second run skipped past 60 s).
+    # Per-query wall = min of 3 runs (re-runs skipped past 120 s).
     # Sharing one session across the suite is realistic, but a query
     # timed right after a heavy multi-stage one absorbs its Python
     # worker churn / GC debris (round 1: media_features read 35 s for
@@ -120,7 +120,12 @@ def main() -> None:
     # Queries over the KG reuse the session-cached graph on the second
     # run, so they report their own marginal cost; the one-time graph
     # build is the headline (kg_pipeline + kg_dict_prep).
-    # cold = first run (cache effects visible), min = best of 2
+    # cold = first run (cache effects visible), min = best of 3.
+    # min-of-3 (was min-of-2 through r5): BENCH_r05 showed a broad
+    # +10-30% warm drift vs r4 with every mover noise-correlated
+    # (VERDICT r5 "What's wrong" #2) — a third sample tightens the
+    # min-estimator enough to attribute that kind of drift to host
+    # churn instead of leaving the round-over-round comparison mushy.
     cold: dict[str, float] = {}
     from graphgen_spark.datapipe.dedup import release_dedup_caches
 
@@ -128,11 +133,11 @@ def main() -> None:
         if name.startswith("kg_"):
             continue  # covered by kg_pipeline above
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).count()
             walls.append(time.time() - t0)
-            # re-run cap: 120 s keeps min-of-2 meaningful for the one
+            # re-run cap: 120 s keeps the min meaningful for the one
             # query with a heavy cold graph build (qa_eval_metrics,
             # 40-85 s cold depending on host noise) while still
             # bounding suite time
