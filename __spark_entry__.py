@@ -538,6 +538,136 @@ def _kg_qa_masked_fib_oracle() -> str:
     """
 
 
+def _q_kg_qa_multi_answer_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """multi_answer generation over hash-grouped subject-star
+    communities (VERDICT r5 #2: the mode is vacuous on 2-node triple
+    communities AND on pure single stars — a grouped-star community
+    supplies both >=2 true neighbors and non-adjacent distractors).
+    Exercises the untouched multi_answer kernel (generate.py:176-208:
+    neighbor top-3, non-adjacent distractor fill to 4 options, letter
+    answers, per-community question cap).  Reference:
+    ``models/generator/multi_answer_generator.py`` +
+    ``bases/base_partitioner.py:22-53``."""
+    from graphgen_spark.operators.generate import generate_qa
+    from graphgen_spark.operators.partitioners import (
+        community_to_batches,
+        star_partition,
+    )
+
+    result = _kg_wholedoc(spark, sf_dir, linked=True)
+    comms = star_partition(result["edges"])
+    batches = community_to_batches(
+        comms, result["nodes"], result["edges"]
+    )
+    qa = generate_qa(batches, mode="multi_answer")
+    return qa.select(
+        "community_id",
+        "question",
+        F.array_join("options", " | ").alias("options_str"),
+        "answer",
+    ).orderBy("community_id", "question")
+
+
+def _kg_qa_multi_answer_star_oracle() -> str:
+    """DuckDB replay of star_partition + the multi_answer kernel: the
+    capped star family is pure SQL (windowed per-hub object cap,
+    md5-prefix bucket), and the kernel's per-name candidate build
+    (sorted-neighbor top-3, sorted non-adjacent distractor fill,
+    sorted 4-option letters, first-5-valid-per-community cap) is a
+    list-lambda pipeline."""
+    return f"""{_kg_oracle_ctes(linked=True)},
+        star_edges AS (
+            SELECT subj AS src, obj AS dst FROM triples
+            GROUP BY subj, obj
+        ),
+        capped AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY dst
+                       ) AS rn
+                FROM star_edges
+            ) WHERE rn <= 50
+        ),
+        nb AS (
+            SELECT greatest(1, count(DISTINCT src) // 4) AS n_buckets
+            FROM capped
+        ),
+        bucketed AS (
+            SELECT printf(
+                       'star_%06d',
+                       ('0x' || substr(md5(src), 1, 8))::BIGINT
+                           % n_buckets
+                   ) AS community_id,
+                   src, dst
+            FROM capped, nb
+        ),
+        members AS (
+            SELECT DISTINCT community_id, src AS node FROM bucketed
+            UNION
+            SELECT DISTINCT community_id, dst FROM bucketed
+        ),
+        comm_names AS (
+            SELECT community_id, list_sort(list(node)) AS names
+            FROM members GROUP BY community_id
+        ),
+        und AS (
+            SELECT community_id, src AS a, dst AS b FROM bucketed
+            UNION
+            SELECT community_id, dst, src FROM bucketed
+        ),
+        adjl AS (
+            SELECT community_id, a AS name,
+                   list_sort(list(DISTINCT b)) AS adj
+            FROM und GROUP BY community_id, a
+        ),
+        built AS (
+            SELECT m.community_id, m.node AS name, a.adj,
+                   a.adj[1:3] AS neigh,
+                   list_filter(
+                       cn.names,
+                       x -> x <> m.node
+                            AND NOT list_contains(a.adj, x)
+                   )[1 : 4 - len(a.adj[1:3])] AS distr
+            FROM members m
+            JOIN comm_names cn ON cn.community_id = m.community_id
+            JOIN adjl a ON a.community_id = m.community_id
+                       AND a.name = m.node
+            WHERE len(a.adj) >= 2
+        ),
+        valid AS (
+            SELECT community_id, name, neigh,
+                   list_sort(neigh || distr) AS cands
+            FROM built
+            WHERE len(neigh) + len(distr) >= 4
+        ),
+        lettered AS (
+            SELECT community_id, name, cands,
+                   array_to_string(
+                       list_sort(list_transform(
+                           neigh,
+                           x -> chr(64 + list_position(cands, x))
+                       )), ', ') AS answer,
+                   row_number() OVER (
+                       PARTITION BY community_id ORDER BY name
+                   ) AS rn
+            FROM valid
+        )
+        SELECT community_id,
+               'Which of the following are directly related to '
+                   || name || '?' AS question,
+               'A. ' || cands[1] || ' | B. ' || cands[2] ||
+               ' | C. ' || cands[3] || ' | D. ' || cands[4]
+                   AS options_str,
+               answer
+        FROM lettered
+        WHERE rn <= 5
+        ORDER BY community_id, question
+    """
+
+
 def _kg_qa_quiz_oracle() -> str:
     """quiz over triple communities: one row per (community, node);
     the node's own name is masked in its gated description, with the
@@ -1650,7 +1780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_louvain_check": _q_kg_louvain_check,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
-        "kg_qa_true_false": _q_kg_qa_true_false,
         "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
         "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
@@ -1659,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_qa_masked_fib_triple": _mk_kg_qa_triple(
             "masked_fill_in_blank"
         ),
+        "kg_qa_multi_answer_star": _q_kg_qa_multi_answer_star,
         "kg_triple_eval_scores": _q_kg_triple_eval_scores,
         "kg_ece_check": _q_kg_ece_check,
         "fill_in_blank_docs": _q_fill_in_blank_docs,
@@ -1688,6 +1818,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H trio checks only generic agg/join/anti-join shapes that
         # a dozen window queries already cover, and stays hash-verified
         # locally via DEMOTED_ORACLES + tests/test_demoted_oracles.py.
+        # kg_qa_true_false was DEMOTED in r6 to make room for
+        # kg_qa_multi_answer_star: true_false is a pure projection of
+        # the same merged CTE chain that kg_qa_aggregated_triple
+        # already hash-checks (identical gate/merge machinery, only
+        # the string template differs), while multi_answer was the
+        # 10th of 11 generation modes without an oracle row.  Stays
+        # hash-verified via DEMOTED_ORACLES at sf0.001.
+        "kg_qa_true_false": _q_kg_qa_true_false,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -2289,13 +2427,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
-        "kg_qa_true_false": _kg_qa_true_false_oracle(),
         "kg_qa_atomic_triple": _kg_qa_atomic_oracle(),
         "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
         "kg_qa_cot_triple": _kg_qa_cot_oracle(),
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "kg_qa_masked_fib_triple": _kg_qa_masked_fib_oracle(),
+        "kg_qa_multi_answer_star": _kg_qa_multi_answer_star_oracle(),
         "kg_triple_eval_scores": _kg_triple_eval_scores_oracle(),
         "kg_ece_check": _kg_ece_check_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
@@ -2746,7 +2884,11 @@ def oracle_sql() -> dict[str, str]:
 # (see the queries() tail comment).  Excluded from oracle_sql() so they
 # don't consume window slots; tests/test_demoted_oracles.py keeps them
 # hash-verified against DuckDB at sf0.001 every suite run.
-DEMOTED_ORACLES: dict[str, str] = {
+# Values are SQL strings or zero-arg callables returning SQL (the KG
+# oracles materialize their pages/labels parquet when built — keep
+# that out of module import).
+DEMOTED_ORACLES: dict = {
+    "kg_qa_true_false": _kg_qa_true_false_oracle,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

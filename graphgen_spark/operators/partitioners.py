@@ -395,6 +395,94 @@ def triple_partition(edges: DataFrame) -> DataFrame:
     )
 
 
+def star_partition(
+    edges: DataFrame, max_objects: int = 50,
+    stars_per_community: int = 4,
+) -> DataFrame:
+    """Subject-star communities, hash-grouped a few stars per
+    community — the community family that de-vacuates the
+    multi_answer generation mode (VERDICT r5 #2): a star contributes
+    >=2 true neighbors for its hub, the OTHER stars in the group
+    contribute non-adjacent distractor names.  (A pure single star is
+    vacuous for that mode: every non-hub node is adjacent to the hub,
+    so no distractors exist.)  Reference community batch shape:
+    ``bases/base_partitioner.py:22-53``; the mode itself:
+    ``models/generator/multi_answer_generator.py``.
+
+    Pure DataFrame ops, DuckDB-replayable end to end:
+
+    - star hub = ``src_id`` (the lexicographically smaller endpoint of
+      the canonicalized merged edge);
+    - a per-hub window keeps the ``max_objects`` smallest objects —
+      the same Zipf-hot cap idiom as merge.MAX_MERGED_VALUES, so a
+      100 TB hub cannot blow up one community payload;
+    - the number of communities scales with count(DISTINCT hub)
+      (roughly ``stars_per_community`` stars each) via a scalar
+      aggregate cross-join (no driver action, broadcast by AQE), and
+      stars land in communities by the engine-portable md5-prefix
+      hash of the hub name;
+    - one hash shuffle (the groupBy); the window is per-hub, not
+      global.
+    """
+    from pyspark.sql import Window
+
+    star = (
+        edges.select("src_id", "tgt_id", F.col("length").cast("long")
+                     .alias("_len"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("src_id").orderBy("tgt_id")
+            ),
+        )
+        .where(F.col("_rn") <= max_objects)
+        .drop("_rn")
+    )
+    n_hubs = star.agg(
+        F.countDistinct("src_id").alias("_n_hubs")
+    )
+    bucketed = star.crossJoin(F.broadcast(n_hubs)).withColumn(
+        "_bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5("src_id"), 1, 8), 16, 10)
+            .cast("long"),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.col("_n_hubs") / stars_per_community),
+            ),
+        ),
+    )
+    return (
+        bucketed.groupBy(
+            F.format_string("star_%06d", "_bucket").alias("community_id")
+        )
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.array("src_id", "tgt_id"))
+                    )
+                )
+            ).alias("nodes"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("src_id").alias("src"),
+                        F.col("tgt_id").alias("dst"),
+                    )
+                )
+            ).alias("edges"),
+            F.sum("_len").alias("token_sum"),
+        )
+        .select(
+            "community_id", "nodes", "edges",
+            (F.size("nodes") + F.size("edges")).cast("int")
+            .alias("n_units"),
+            "token_sum",
+        )
+    )
+
+
 def _louvain(n_nodes: int, edge_idx: list, resolution: float,
              max_levels: int = 10) -> list:
     """Deterministic pure-Python Louvain (modularity optimization —

@@ -1,6 +1,6 @@
-"""Hash-parity for the TPC-H queries demoted out of the driver's
-50-query window in r5 (pricing_summary / top_customers /
-parts_never_ordered): they freed window slots for queries exercising
+"""Hash-parity for the queries demoted out of the driver's 50-query
+window (r5: pricing_summary / top_customers / parts_never_ordered;
+r6: kg_qa_true_false): they freed window slots for queries exercising
 unique engine machinery, but stay verified here against the exact SQL
 they used to run under the driver — same dtype-faithful hash path as
 tools/check_contract.py, at sf0.001."""
@@ -30,7 +30,8 @@ def test_demoted_query_hash_parity(spark, duck, name):
     qs = entrymod.queries()
     assert name in qs and name not in entrymod.oracle_sql()
     spdf = qs[name](spark, SF_DIR).toPandas()
-    dpdf = duck.sql(entrymod.DEMOTED_ORACLES[name]).df()
+    sql = entrymod.DEMOTED_ORACLES[name]
+    dpdf = duck.sql(sql() if callable(sql) else sql).df()
     assert sorted(spdf.columns) == sorted(dpdf.columns)
     assert len(spdf) == len(dpdf) > 0
     assert frame_hash(spdf) == frame_hash(dpdf)
