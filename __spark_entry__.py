@@ -1211,6 +1211,129 @@ def _q_kg_qa_vqa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_qa_vqa_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VQA generation surface WITHOUT codecs (VERDICT r5 #5): the
+    oracle-green byte-histogram fingerprint stands in for decoded
+    pixels — each media row's top-3 histogram bins become a
+    deterministic visual-feature description, each media becomes a
+    one-node community whose IMAGE entity feeds the UNTOUCHED vqa
+    kernel (generate.py vqa mode: IMAGE-type filter, the
+    ``media/<name>`` img_path convention, question/answer format;
+    reference ``models/generator/vqa_generator.py:78-90``).
+    Audio/video rows ride along and exercise the kernel's non-IMAGE
+    skip path.  The codec decode itself stays the one documented
+    boundary (multimodal.py)."""
+    from pyspark.sql import Window
+
+    from graphgen_spark.datapipe.multimodal import (
+        byte_histograms,
+        synth_media_df,
+    )
+    from graphgen_spark.operators.generate import generate_qa
+
+    hist = byte_histograms(synth_media_df(spark, 128))
+    bins = hist.select(
+        "media_id", "modality",
+        F.posexplode("hist").alias("bin", "cnt"),
+    )
+    w = Window.partitionBy("media_id").orderBy(
+        F.desc("cnt"), F.asc("bin")
+    )
+    top = (
+        bins.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .groupBy("media_id", "modality")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_rk").alias("rk"),
+                                F.concat(
+                                    F.lit("b"),
+                                    F.col("bin").cast("string"),
+                                ).alias("tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("feat")
+        )
+    )
+    batches = top.select(
+        F.concat(F.lit("media::"), "media_id").alias("community_id"),
+        F.array(
+            F.struct(
+                F.upper("media_id").alias("entity_name"),
+                F.upper("modality").alias("entity_type"),
+                F.concat(
+                    F.lit("dominant byte bins: "), "feat"
+                ).alias("description"),
+            )
+        ).alias("node_data"),
+        F.lit(None)
+        .cast(
+            "array<struct<src_id:string,tgt_id:string,"
+            "description:string>>"
+        )
+        .alias("edge_data"),
+    )
+    qa = generate_qa(batches, mode="vqa")
+    return qa.select(
+        "community_id", "question", "answer", "img_path"
+    ).orderBy("community_id")
+
+
+def _kg_qa_vqa_hist_oracle() -> str:
+    """DuckDB replay: the same literal independent pure-Python
+    histogram recomputation media_byte_hist uses, then the top-3 bin
+    pick (count desc, bin asc) and the vqa kernel's formatting —
+    question template, IMAGE filter, media/<lower name> img_path."""
+    from graphgen_spark.datapipe.multimodal import synth_media_expected
+
+    rows = ", ".join(
+        "('{}', '{}', '{}')".format(
+            mid, mod, ",".join(str(c) for c in hist)
+        )
+        for mid, mod, _nb, hist in synth_media_expected(128)
+    )
+    return f"""
+        WITH t(media_id, modality, hist) AS (VALUES {rows}),
+        img AS (
+            SELECT media_id, string_split(hist, ',') AS parts
+            FROM t WHERE modality = 'image'
+        ),
+        bins AS (
+            SELECT media_id, r.i AS bin,
+                   CAST(parts[r.i + 1] AS BIGINT) AS cnt
+            FROM img, range(32) r(i)
+        ),
+        ranked AS (
+            SELECT media_id, bin,
+                   row_number() OVER (
+                       PARTITION BY media_id
+                       ORDER BY cnt DESC, bin ASC
+                   ) AS rk
+            FROM bins
+        ),
+        feat AS (
+            SELECT media_id,
+                   string_agg('b' || bin, ' ' ORDER BY rk) AS f
+            FROM ranked WHERE rk <= 3 GROUP BY media_id
+        )
+        SELECT 'media::' || media_id AS community_id,
+               'What does the image ' || upper(media_id)
+                   || ' depict?' AS question,
+               'dominant byte bins: ' || f AS answer,
+               'media/' || media_id AS img_path
+        FROM feat
+        ORDER BY community_id
+    """
+
+
 def _q_fill_in_blank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fill_in_blank generation kernel as a pure string transform
     over documents (reference fill_in_blank_generator.py row shape:
@@ -1782,13 +1905,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
-        "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
         "kg_qa_quiz_triple": _mk_kg_qa_triple("quiz"),
         "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
         "kg_qa_masked_fib_triple": _mk_kg_qa_triple(
             "masked_fill_in_blank"
         ),
         "kg_qa_multi_answer_star": _q_kg_qa_multi_answer_star,
+        "kg_qa_vqa_hist": _q_kg_qa_vqa_hist,
         "kg_triple_eval_scores": _q_kg_triple_eval_scores,
         "kg_ece_check": _q_kg_ece_check,
         "fill_in_blank_docs": _q_fill_in_blank_docs,
@@ -1826,6 +1949,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 10th of 11 generation modes without an oracle row.  Stays
         # hash-verified via DEMOTED_ORACLES at sf0.001.
         "kg_qa_true_false": _q_kg_qa_true_false,
+        # kg_qa_cot_triple DEMOTED in r6 for kg_qa_vqa_hist: cot over
+        # triple communities is the same merged-CTE projection family
+        # as the still-green aggregated oracle (reasoning text is a
+        # string template over the identical gated description), while
+        # vqa had NO hash-checked row at all.  Hash-verified below via
+        # DEMOTED_ORACLES.
+        "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -2429,11 +2559,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_atomic_triple": _kg_qa_atomic_oracle(),
         "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
-        "kg_qa_cot_triple": _kg_qa_cot_oracle(),
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "kg_qa_masked_fib_triple": _kg_qa_masked_fib_oracle(),
         "kg_qa_multi_answer_star": _kg_qa_multi_answer_star_oracle(),
+        "kg_qa_vqa_hist": _kg_qa_vqa_hist_oracle(),
         "kg_triple_eval_scores": _kg_triple_eval_scores_oracle(),
         "kg_ece_check": _kg_ece_check_oracle(),
         "minhash_verified_pairs": _minhash_pairs_oracle(),
@@ -2889,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
 # that out of module import).
 DEMOTED_ORACLES: dict = {
     "kg_qa_true_false": _kg_qa_true_false_oracle,
+    "kg_qa_cot_triple": _kg_qa_cot_oracle,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
