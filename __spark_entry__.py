@@ -538,6 +538,128 @@ def _kg_qa_masked_fib_oracle() -> str:
     """
 
 
+def _q_kg_communities_quint_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT community membership for a greedy partitioner (VERDICT
+    r5 #6: conservation laws stop being the verification ceiling).
+    The quintuple strategy (reference semantics: iterate centers in
+    sorted order, pair off this center's not-yet-consumed incident
+    edges two at a time — ``_greedy_partition_pdf`` quintuple branch)
+    is sequential-stateful, but its only cross-community state is the
+    consumed-edge set, so the DuckDB oracle steps the center loop with
+    a recursive CTE carrying ``used_e`` as a list — the same replay
+    treatment that cracked MTLD and the CC closure.  Every community's
+    id, member lists, and token sum are hash-checked, not just
+    conserved totals.  (Per-component frames ≡ one global sorted
+    center walk: edges never span components, and at oracle scale no
+    component crosses the 200k-unit hash-bucket gate.)"""
+    from graphgen_spark.operators.partitioners import (
+        quintuple_partition,
+    )
+
+    kg = _kg_wholedoc(spark, sf_dir, linked=True)
+    comms = quintuple_partition(kg["nodes"], kg["edges"])
+    return comms.select(
+        "community_id",
+        F.array_join("nodes", ",").alias("nodes_str"),
+        F.array_join(
+            F.transform(
+                "edges", lambda e: F.concat_ws("|", e["src"], e["dst"])
+            ),
+            ",",
+        ).alias("edges_str"),
+        F.col("n_units").cast("int").alias("n_units"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+    ).orderBy("community_id")
+
+
+def _kg_communities_quint_exact_oracle() -> str:
+    """Recursive-CTE replay of the quintuple center walk: node/edge
+    universes + gated lengths re-derived from pages.text (the shared
+    merge CTE chain), adjacency lists presorted, one recursion step
+    per center consuming its free-edge pairs into ``used_e``."""
+    _, length = _gate_sql("descr")
+    ctes = _kg_node_merged_ctes(edges=True).replace(
+        "WITH pages", "WITH RECURSIVE pages", 1
+    )
+    return f"""{ctes},
+        nlen AS (
+            SELECT entity_name AS name, {length} AS len FROM merged
+        ),
+        elen AS (
+            SELECT src_id, tgt_id, {length} AS len FROM emerged
+        ),
+        adjm AS (
+            SELECT center, list_sort(list(nbr)) AS nbrs FROM (
+                SELECT src_id AS center, tgt_id AS nbr FROM elen
+                UNION ALL
+                SELECT tgt_id, src_id FROM elen
+            ) GROUP BY center
+        ),
+        centers AS (
+            SELECT center, nbrs,
+                   row_number() OVER (ORDER BY center) AS pos
+            FROM adjm
+        ),
+        walk(pos, used_e, pairs) AS (
+            SELECT 0, CAST([] AS VARCHAR[]),
+                   CAST([] AS STRUCT(
+                       center VARCHAR, v1 VARCHAR, v2 VARCHAR)[])
+            UNION ALL
+            SELECT c.pos,
+                   w.used_e || flatten(list_transform(
+                       st.pairs,
+                       p -> [least(p.center, p.v1) || '|'
+                                 || greatest(p.center, p.v1),
+                             least(p.center, p.v2) || '|'
+                                 || greatest(p.center, p.v2)])),
+                   st.pairs
+            FROM walk w
+            JOIN centers c ON c.pos = w.pos + 1,
+            LATERAL (
+                SELECT list_filter(
+                           c.nbrs,
+                           v -> NOT list_contains(
+                               w.used_e,
+                               least(c.center, v) || '|'
+                                   || greatest(c.center, v))
+                       ) AS free
+            ) fr,
+            LATERAL (
+                SELECT list_transform(
+                           range(len(fr.free) // 2),
+                           i -> {{'center': c.center,
+                                 'v1': fr.free[2 * i + 1],
+                                 'v2': fr.free[2 * i + 2]}}) AS pairs
+            ) st
+        ),
+        emitted AS (SELECT unnest(pairs) AS p FROM walk),
+        flat AS (
+            SELECT p.center AS center, p.v1 AS v1, p.v2 AS v2
+            FROM emitted
+        )
+        SELECT 'quint-' || center || '-' || v1 || '-' || v2
+                   AS community_id,
+               v1 || ',' || center || ',' || v2 AS nodes_str,
+               least(center, v1) || '|' || greatest(center, v1) || ','
+                   || least(center, v2) || '|' || greatest(center, v2)
+                   AS edges_str,
+               CAST(5 AS INT) AS n_units,
+               CAST(n1.len + nc.len + n2.len + e1.len + e2.len
+                    AS BIGINT) AS token_sum
+        FROM flat
+        JOIN nlen n1 ON n1.name = v1
+        JOIN nlen nc ON nc.name = center
+        JOIN nlen n2 ON n2.name = v2
+        JOIN elen e1 ON e1.src_id = least(center, v1)
+                    AND e1.tgt_id = greatest(center, v1)
+        JOIN elen e2 ON e2.src_id = least(center, v2)
+                    AND e2.tgt_id = greatest(center, v2)
+        ORDER BY community_id
+    """
+
+
 def _q_kg_qa_multi_answer_star(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1900,10 +2022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage_by_url": _q_kg_coverage,
         "kg_communities_triple": _q_kg_communities_triple,
         "kg_communities_check": _q_kg_communities_check,
+        "kg_communities_quint_exact": _q_kg_communities_quint_exact,
         "kg_louvain_check": _q_kg_louvain_check,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
-        "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
         "kg_qa_quiz_triple": _mk_kg_qa_triple("quiz"),
         "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
@@ -1949,6 +2071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 10th of 11 generation modes without an oracle row.  Stays
         # hash-verified via DEMOTED_ORACLES at sf0.001.
         "kg_qa_true_false": _q_kg_qa_true_false,
+        # kg_qa_atomic_triple DEMOTED in r6 for
+        # kg_communities_quint_exact: atomic is the same per-
+        # (community, endpoint-node) node_desc projection the still-
+        # green quiz oracle exercises (quiz adds the mask/fallback on
+        # top), while exact greedy-partitioner membership had no
+        # hash-checked row at all.  Hash-verified via DEMOTED_ORACLES.
+        "kg_qa_atomic_triple": _mk_kg_qa_triple("atomic"),
         # kg_qa_cot_triple DEMOTED in r6 for kg_qa_vqa_hist: cot over
         # triple communities is the same merged-CTE projection family
         # as the still-green aggregated oracle (reasoning text is a
@@ -2552,12 +2681,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_coverage_by_url": _kg_coverage_oracle(),
         "kg_communities_triple": _kg_communities_triple_oracle(),
         "kg_communities_check": _kg_communities_check_oracle(),
+        "kg_communities_quint_exact": _kg_communities_quint_exact_oracle(),
         "kg_louvain_check": _kg_louvain_check_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_edges_merged": _kg_edges_merged_oracle(),
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
-        "kg_qa_atomic_triple": _kg_qa_atomic_oracle(),
         "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
         "kg_qa_fib_triple": _kg_qa_fib_oracle(),
@@ -3019,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
 # that out of module import).
 DEMOTED_ORACLES: dict = {
     "kg_qa_true_false": _kg_qa_true_false_oracle,
+    "kg_qa_atomic_triple": _kg_qa_atomic_oracle,
     "kg_qa_cot_triple": _kg_qa_cot_oracle,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
