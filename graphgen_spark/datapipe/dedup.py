@@ -74,19 +74,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # ------------------------------------------------------ n-gram Jaccard
 
 
-def shingles(docs: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc — pure Spark SQL (split +
-    sequence + transform), no Python."""
+def _gram_array(text_col: str, n: int):
+    """Column expr: the DISTINCT non-empty word n-gram shingles of a
+    text column as an array — the single definition behind both the
+    exploded postings table (``shingles``) and the per-doc set arrays
+    the minhash verifier intersects."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.array_distinct(grams)).alias("shingle"))
-        .where(F.length("shingle") > 0)
+    return F.filter(
+        F.array_distinct(grams), lambda s: F.length(s) > 0
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc — pure Spark SQL (split +
+    sequence + transform), no Python."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_gram_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -242,36 +251,18 @@ def minhash_signatures(
 AUTO_BUCKET_CAP = 100
 
 
-def minhash_verified_pairs(
+def lsh_candidate_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, num_perm: int = 64, bands: int = 16,
-    threshold: float = 0.8, seed: int = 42,
+    n: int = 3, num_perm: int = 64, bands: int = 16, seed: int = 42,
     bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Signatures -> band buckets -> candidate pairs -> exact
-    shingle-Jaccard verification.  Returns (a, b, jaccard_micro) with
-    jaccard_micro = (1e6 * |A∩B|) DIV |A∪B| and the threshold applied
-    as an exact integer cross-multiplication — the whole stage is
-    engine-portable and hash-matches a DuckDB oracle (the grouping
-    that follows in minhash_lsh_dedup is the only non-SQL part).
-
-    Scale shape: the only joins are (bucket self-join) and (pair
-    verification vs the shingle postings); both are hash joins on
-    bounded keys — candidate generation is linear in corpus size
-    PROVIDED no band bucket degenerates.
-
-    ``bucket_cap``: drop (band, bucket) groups holding more than this
-    many docs before the self-join — the LSH twin of the ngram
-    ``df_cap``.  A bucket of m docs contributes C(m,2) candidates and
-    each candidate then multiplies by its docs' full shingle lists in
-    the verification join, so one hot bucket is an n² term twice over.
-    Hot buckets on web corpora come from degenerate docs (near-empty
-    shingle sets, boilerplate clusters): measured on the 160k-page
-    synthetic corpus, one bucket held 1 423 docs and pushed the
-    uncapped wall to ~19 min (BENCH_SCALING.jsonl dfcap lines).  What
-    a cap drops is either an exact-duplicate cluster (exact_dedup's
-    job, one hash shuffle) or degenerate — the same recall argument as
-    df_cap."""
+    """The candidate-generation half of ``minhash_verified_pairs``:
+    signatures -> band buckets -> (optional hot-bucket cap) -> distinct
+    candidate (a, b) pairs.  Factored out so the candidate VOLUME —
+    the quantity every cap/banding policy actually controls, and the
+    term the verification join multiplies by each doc's shingle list —
+    is measurable on its own (tools/dfcap_run.py ``candonly`` mode)
+    and the capped/uncapped plan shape stays one code path."""
     rows_per_band = num_perm // bands
     # both sides of the bucket self-join scan the signatures — persist
     # so the Python MinHash hop runs once, not twice
@@ -320,29 +311,88 @@ def minhash_verified_pairs(
     right = banded.select(
         F.col("doc_id").alias("b"), "band", "bucket"
     )
-    candidates = (
+    return (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
 
-    # verify candidates with exact n-gram Jaccard (postings table
-    # persisted: it feeds sizes + both verification join sides)
-    sh = _persist(shingles(docs, text_col, id_col, n))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        candidates.join(sha, "a").join(shb, ["b", "shingle"])
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+
+def minhash_verified_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_perm: int = 64, bands: int = 16,
+    threshold: float = 0.8, seed: int = 42,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Signatures -> band buckets -> candidate pairs -> exact
+    shingle-Jaccard verification.  Returns (a, b, jaccard_micro) with
+    jaccard_micro = (1e6 * |A∩B|) DIV |A∪B| and the threshold applied
+    as an exact integer cross-multiplication — the whole stage is
+    engine-portable and hash-matches a DuckDB oracle (the grouping
+    that follows in minhash_lsh_dedup is the only non-SQL part).
+
+    Scale shape: the only joins are (bucket self-join) and (pair
+    verification vs the shingle postings); both are hash joins on
+    bounded keys — candidate generation is linear in corpus size
+    PROVIDED no band bucket degenerates.
+
+    ``bucket_cap``: drop (band, bucket) groups holding more than this
+    many docs before the self-join — the LSH twin of the ngram
+    ``df_cap``.  A bucket of m docs contributes C(m,2) candidates and
+    each candidate then multiplies by its docs' full shingle lists in
+    the verification join, so one hot bucket is an n² term twice over.
+    Hot buckets on web corpora come from degenerate docs (near-empty
+    shingle sets, boilerplate clusters): measured on the 160k-page
+    synthetic corpus, one bucket held 1 423 docs and pushed the
+    uncapped wall to ~19 min (BENCH_SCALING.jsonl dfcap lines).  What
+    a cap drops is either an exact-duplicate cluster (exact_dedup's
+    job, one hash shuffle) or degenerate — the same recall argument as
+    df_cap."""
+    candidates = _persist(lsh_candidate_pairs(
+        docs, text_col, id_col, n, num_perm, bands, seed, bucket_cap
+    ))
+
+    # verify candidates with exact n-gram Jaccard.  r6 shape: capped
+    # candidate volume is tiny and SUB-linear in corpus size (measured
+    # 48.8k pairs at 160k pages -> 147k at 640k, bands=4/cap=25 —
+    # BENCH_SCALING.jsonl candonly lines) while the shingle POSTINGS
+    # table is strictly linear and huge (~128M rows at 640k pages), so
+    # the old candidates×postings verification join shuffled the whole
+    # postings table to score a droplet of pairs and dominated the
+    # wall (~600 of 724 s at 640k).  Instead: semi-join-prune docs to
+    # candidate members (AQE broadcasts the tiny member list), build
+    # each member's distinct-shingle ARRAY inline (no explode, no
+    # groupBy), and score pairs with array_intersect — every shuffle
+    # left is proportional to the candidate volume, not the corpus.
+    cand_docs = (
+        candidates.select(F.col("a").alias(id_col))
+        .unionAll(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = _persist(
+        docs.join(cand_docs, id_col, "left_semi")
+        .select(F.col(id_col).alias("doc_id"),
+                _gram_array(text_col, n).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        # parity with the postings formulation: a zero-shingle doc had
+        # no postings row, so its pairs never reached the output
+        .where(F.col("sz") > 0)
     )
     thr_micro = int(round(threshold * 1_000_000))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("a"),
-                                 F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"),
-                           F.col("sz").alias("sz_b")), "b")
+        candidates
+        .join(doc_sets.select(F.col("doc_id").alias("a"),
+                              F.col("hs").alias("hs_a"),
+                              F.col("sz").alias("sz_a")), "a")
+        .join(doc_sets.select(F.col("doc_id").alias("b"),
+                              F.col("hs").alias("hs_b"),
+                              F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "common", F.size(F.array_intersect("hs_a", "hs_b"))
+        )
+        # postings parity: pairs with no common shingle never grouped
+        .where(F.col("common") > 0)
         .withColumn(
             "uni", F.col("sz_a") + F.col("sz_b") - F.col("common")
         )

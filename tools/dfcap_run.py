@@ -40,7 +40,10 @@ from graphgen_spark.datapipe.dedup import (
 
 n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 cap_arg = sys.argv[2] if len(sys.argv) > 2 else "100"
-do_minhash = (sys.argv[3] if len(sys.argv) > 3 else "nominhash") == "minhash"
+mh_mode = sys.argv[3] if len(sys.argv) > 3 else "nominhash"
+do_minhash = mh_mode == "minhash"
+do_sigonly = mh_mode == "sigonly"
+do_candonly = mh_mode == "candonly"
 bands = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 bucket_cap_arg = sys.argv[5] if len(sys.argv) > 5 else "none"
 bucket_cap = None if bucket_cap_arg == "none" else int(bucket_cap_arg)
@@ -84,4 +87,26 @@ if do_minhash:
                                threshold=0.5,
                                bucket_cap=bucket_cap).count()
     report("minhash_verified_pairs", None, time.time() - t0, n,
+           bands=bands, bucket_cap=bucket_cap)
+
+if do_sigonly:
+    # attribute the policy-independent linear base: the Python MinHash
+    # signature hop alone (no banding, no joins) — cap/banding policy
+    # can only shrink what sits ABOVE this floor
+    from graphgen_spark.datapipe.dedup import minhash_signatures
+
+    t0 = time.time()
+    n = minhash_signatures(docs, "text", "doc_id", 3, 64, 42).count()
+    report("minhash_signatures_only", None, time.time() - t0, n)
+
+if do_candonly:
+    # candidate VOLUME under a policy — the quantity the verification
+    # join multiplies by each doc's shingle list; scanning policies on
+    # volume is ~5x cheaper than full verification walls
+    from graphgen_spark.datapipe.dedup import lsh_candidate_pairs
+
+    t0 = time.time()
+    n = lsh_candidate_pairs(docs, "text", "doc_id", 3, 64, bands, 42,
+                            bucket_cap).count()
+    report("lsh_candidate_pairs", None, time.time() - t0, n,
            bands=bands, bucket_cap=bucket_cap)

@@ -1,0 +1,158 @@
+"""Quantify the giant-component gate's community-quality cost
+(VERDICT r5 #3): ``leiden_partition`` hash-buckets components above
+``component_unit_gate`` so no single task runs the pure-Python
+modularity search over a web-scale component — communities can then
+never span buckets and ~(1 - 1/n_buckets) of the component's edges
+are dropped from community induction (logged since r6).  "Degrades
+gracefully" was argued, not measured; this probe turns it into a
+number.
+
+Setup: a planted-partition graph in ONE connected component —
+``K`` communities of ``S`` nodes (ring + chord intra-edges, so each
+community is locally dense), chained by single bridge edges.  At the
+default K=1000, S=100 that is 100k nodes + 200k intra + 999 bridge
+edges ~= 301k units, comfortably above the 200k gate default.
+
+Measured: Newman modularity over the FULL edge set (bridges and
+cross-bucket edges included — the honest quality metric) of
+  - the planted ground-truth partition (the ceiling),
+  - the ungated Louvain partition (one pandas frame),
+  - the gated partition at ~4 hash buckets (gate=80k),
+plus wall times.  Prints one JSON line; record the table in
+BASELINE.md.
+
+Usage: spark-submit --master local[8] tools/louvain_gate_probe.py \
+           [K] [S] [gate]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from graphgen_spark.operators.partitioners import leiden_partition
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+GATE = int(sys.argv[3]) if len(sys.argv) > 3 else 80_000
+
+spark = SparkSession.builder.appName("louvain_gate_probe").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+n_nodes = K * S
+nodes = spark.range(n_nodes).select(
+    F.format_string("n%07d", F.col("id")).alias("entity_name"),
+    F.lit("ORG").alias("entity_type"),
+    F.lit("d").alias("description"),
+    F.lit(3).cast("long").alias("length"),
+)
+# intra-community ring (i -> i+1 mod S) + chords (i -> i+5 mod S):
+# locally dense, diameter ~S/10, every community internally connected
+base = spark.range(n_nodes).select(
+    (F.col("id") / S).cast("long").alias("c"),
+    (F.col("id") % S).alias("i"),
+    F.col("id"),
+)
+ring = base.select(
+    F.col("id").alias("u"),
+    (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
+)
+chord = base.select(
+    F.col("id").alias("u"),
+    (F.col("c") * S + (F.col("i") + 5) % S).alias("v"),
+)
+# bridge chain c -> c+1 through node 0 of each community: one component
+bridge = spark.range(K - 1).select(
+    (F.col("id") * S).alias("u"), ((F.col("id") + 1) * S).alias("v")
+)
+edges = (
+    ring.unionByName(chord).unionByName(bridge)
+    .select(
+        F.format_string("n%07d", F.col("u")).alias("src_id"),
+        F.format_string("n%07d", F.col("v")).alias("tgt_id"),
+        F.lit("r").alias("description"),
+        F.lit(4).cast("long").alias("length"),
+    )
+    .localCheckpoint(eager=True)
+)
+nodes = nodes.localCheckpoint(eager=True)
+n_edges = edges.count()
+n_units = n_nodes + n_edges
+
+
+def modularity(membership):
+    """Newman modularity of (entity_name, comm) over the full
+    unweighted edge set: Q = sum_c [e_c/m - (d_c/2m)^2]."""
+    e = (
+        edges.select("src_id", "tgt_id")
+        .join(membership.withColumnRenamed("entity_name", "src_id")
+              .withColumnRenamed("comm", "cs"), "src_id")
+        .join(membership.withColumnRenamed("entity_name", "tgt_id")
+              .withColumnRenamed("comm", "ct"), "tgt_id")
+    ).persist()
+    m = e.count()
+    intra = (
+        e.where(F.col("cs") == F.col("ct"))
+        .groupBy("cs").count()
+        .withColumnRenamed("cs", "comm")
+        .withColumnRenamed("count", "e_c")
+    )
+    deg = (
+        e.select(F.col("cs").alias("comm"))
+        .unionAll(e.select(F.col("ct").alias("comm")))
+        .groupBy("comm").count()
+        .withColumnRenamed("count", "d_c")
+    )
+    per = deg.join(intra, "comm", "left").fillna(0, ["e_c"]).select(
+        (F.col("e_c") / m
+         - (F.col("d_c") / (2.0 * m)) ** 2).alias("q")
+    ).agg(F.sum("q")).collect()[0][0]
+    e.unpersist()
+    return float(per)
+
+
+def detected_membership(gate):
+    # max_size huge: chunk-splitting is a batching concern, not a
+    # quality one — measure the raw detected communities
+    comms = leiden_partition(
+        nodes, edges, max_size=10**9, component_unit_gate=gate
+    )
+    return comms.select(
+        F.col("community_id").alias("comm"),
+        F.explode("nodes").alias("entity_name"),
+    ).localCheckpoint(eager=True)
+
+
+planted = nodes.select(
+    "entity_name",
+    F.substring("entity_name", 2, 8).cast("long").alias("nid"),
+).select("entity_name", (F.col("nid") / S).cast("long").alias("comm"))
+q_planted = modularity(planted)
+
+t0 = time.time()
+mem_ungated = detected_membership(gate=n_units + 1)
+wall_ungated = time.time() - t0
+q_ungated = modularity(mem_ungated)
+
+t0 = time.time()
+mem_gated = detected_membership(gate=GATE)
+wall_gated = time.time() - t0
+q_gated = modularity(mem_gated)
+
+import math
+
+print(json.dumps({
+    "probe": "louvain_gate",
+    "K": K, "S": S, "n_units": n_units, "gate": GATE,
+    "n_buckets": math.ceil(n_units / GATE),
+    "q_planted": round(q_planted, 4),
+    "q_ungated": round(q_ungated, 4),
+    "q_gated": round(q_gated, 4),
+    "retention_vs_ungated": round(q_gated / q_ungated, 4),
+    "wall_ungated": round(wall_ungated, 1),
+    "wall_gated": round(wall_gated, 1),
+}), flush=True)
