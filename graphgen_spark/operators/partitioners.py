@@ -484,16 +484,28 @@ def star_partition(
 
 
 def _louvain(n_nodes: int, edge_idx: list, resolution: float,
-             max_levels: int = 10) -> list:
+             max_levels: int = 10, weights: list | None = None) -> list:
     """Deterministic pure-Python Louvain (modularity optimization —
     the algorithm family Leiden refines; Blondel et al. 2008): local
     moves in sorted node order with smallest-community tie-breaks,
     then graph aggregation, until no level improves.  Returns a
     community index per node.  Used when leidenalg/igraph is not
     installed — same output contract, fully seeded-free deterministic.
-    """
+
+    ``weights``: optional per-edge weights parallel to ``edge_idx``.
+    A weighted self-loop carries a super-node's internal mass (the
+    convention this function's own aggregation step uses), so the
+    coarse pass over a contracted fragment graph optimizes exactly
+    the original graph's modularity restricted to fragment-respecting
+    partitions.  Unweighted input drops self-loops (a raw graph's
+    self-loop is a data artifact, not aggregated mass)."""
     labels = list(range(n_nodes))  # node -> community over all levels
-    cur_edges = [(a, b, 1.0) for a, b in edge_idx if a != b]
+    if weights is None:
+        cur_edges = [(a, b, 1.0) for a, b in edge_idx if a != b]
+    else:
+        cur_edges = [
+            (a, b, float(w)) for (a, b), w in zip(edge_idx, weights)
+        ]
     cur_n = n_nodes
     node_map = list(range(n_nodes))  # original node -> current super-node
 
@@ -582,6 +594,29 @@ def _leiden_index(pdf: pd.DataFrame):
     return names, edge_idx, edge_pairs
 
 
+def _detect_membership(
+    n_nodes: int, edge_idx: list, resolution: float, seed: int,
+    have_leiden: bool, weights: list | None = None,
+) -> list:
+    """One community-detection call, backend-selected: leidenalg when
+    importable (reference parity), else the deterministic pure-Python
+    Louvain.  Shared by the ungated whole-component pass, the gated
+    per-bucket fragment pass, and the gated coarse pass (where
+    ``weights`` carries the contracted fragment graph's edge mass)."""
+    if have_leiden:
+        import igraph as ig
+        import leidenalg as la
+
+        g = ig.Graph(n=n_nodes, edges=edge_idx)
+        part = la.find_partition(
+            g, la.RBConfigurationVertexPartition,
+            resolution_parameter=resolution, seed=seed,
+            weights=weights,
+        )
+        return part.membership
+    return _louvain(n_nodes, edge_idx, resolution, weights=weights)
+
+
 def _membership_to_rows(
     membership, names, edge_pairs, max_size: int, tag: str
 ) -> list:
@@ -656,41 +691,14 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     except ImportError:
         have_leiden = False
 
+    tag = "leiden" if have_leiden else "louvain"
     units = units_with_components(nodes, edges)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         names, edge_idx, edge_pairs = _leiden_index(pdf)
-        # no-silent-caps rule (ADVICE r5): a gated giant component
-        # expects ~ (1 - 1/n_buckets) of its edges to cross buckets
-        # and be dropped from community induction — record the loss
-        # loudly instead of silently (executor log; surfaces in the
-        # driver stderr on local mode).
-        n_edge_units = int((pdf["kind"] == "e").sum())
-        dropped = n_edge_units - len(edge_pairs)
-        if dropped > 0:
-            import logging
-
-            logging.getLogger("graphgen_spark.partitioners").warning(
-                "leiden gate: component %s bucket %s dropped %d/%d "
-                "cross-bucket edge units from community induction",
-                pdf["component"].iloc[0] if len(pdf) else "?",
-                pdf["_bucket"].iloc[0] if "_bucket" in pdf else 0,
-                dropped, n_edge_units,
-            )
-        if have_leiden:
-            import igraph as ig
-            import leidenalg as la
-
-            g = ig.Graph(n=len(names), edges=edge_idx)
-            part = la.find_partition(
-                g, la.RBConfigurationVertexPartition,
-                resolution_parameter=resolution, seed=seed,
-            )
-            membership = part.membership
-            tag = "leiden"
-        else:
-            membership = _louvain(len(names), edge_idx, resolution)
-            tag = "louvain"
+        membership = _detect_membership(
+            len(names), edge_idx, resolution, seed, have_leiden
+        )
         rows = _membership_to_rows(
             membership, names, edge_pairs, max_size, tag
         )
@@ -705,14 +713,399 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     n_buckets = F.ceil(
         F.count(F.lit(1)).over(w) / F.lit(component_unit_gate)
     )
-    bucketed = units.withColumn(
+    bucketed = units.withColumn("_nb", n_buckets).withColumn(
         "_bucket",
-        F.when(n_buckets <= 1, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64("a"), n_buckets)
+        F.when(F.col("_nb") <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("a"), F.col("_nb"))
         ),
     )
-    return bucketed.groupBy("component", "_bucket").applyInPandas(
-        apply_fn, schema=COMMUNITY_SCHEMA
+    ungated = (
+        bucketed.where(F.col("_nb") <= 1)
+        .groupBy("component", "_bucket")
+        .applyInPandas(apply_fn, schema=COMMUNITY_SCHEMA)
+    )
+    gated = _gated_leiden_rows(
+        bucketed.where(F.col("_nb") > 1), max_size, resolution, seed,
+        have_leiden, component_unit_gate,
+    )
+    return ungated.unionByName(gated)
+
+
+MAX_COARSEN_LEVELS = 4
+
+
+def _coarsen_to_membership(
+    mem: DataFrame, cgraph: DataFrame, e: DataFrame, gate: int,
+    resolution: float, seed: int, have_leiden: bool,
+) -> DataFrame:
+    """Iterative distributed Louvain coarsening: given a fragment
+    membership ``mem`` (component, entity_name, frag) and its
+    contracted weighted graph ``cgraph`` (component, fa, fb, w —
+    self-loops carry intra-fragment mass), repeatedly
+
+    - finalize every component whose contracted graph fits ``gate``
+      units with ONE weighted detection task (the coarse pass), and
+    - for components still above the gate, hash-bucket the FRAGMENTS,
+      merge locally (weighted detection per bucket over intra-bucket
+      contracted edges), re-contract, and go again —
+
+    until everything is finalized or ``MAX_COARSEN_LEVELS`` is hit
+    (community-free graphs — long chains — contract slowly; those
+    keep their fragments as communities, loudly).  Every pandas frame
+    anywhere in the loop is bounded by ``gate`` rows-of-units, and
+    each level is one applyInPandas + one groupBy contraction.
+    Returns (component, entity_name, coarse:long)."""
+    from pyspark.sql import Window
+
+    final_schema = T.StructType(
+        [
+            T.StructField("component", T.LongType(), False),
+            T.StructField("frag", T.StringType(), False),
+            T.StructField("coarse", T.LongType(), False),
+        ]
+    )
+    relabel_schema = T.StructType(
+        [
+            T.StructField("component", T.LongType(), False),
+            T.StructField("frag", T.StringType(), False),
+            T.StructField("newfrag", T.StringType(), False),
+        ]
+    )
+
+    def _index_edges(pdf: pd.DataFrame):
+        fnames = sorted(pdf[pdf["fb"].isna()]["fa"])
+        idx = {f: i for i, f in enumerate(fnames)}
+        epdf = pdf[pdf["fb"].notna()]
+        edge_idx, weights = [], []
+        for a, b, wt in zip(epdf["fa"], epdf["fb"], epdf["w"]):
+            if a in idx and b in idx:
+                edge_idx.append((idx[a], idx[b]))
+                weights.append(float(wt))
+        return fnames, edge_idx, weights
+
+    def final_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (component,) = key
+        fnames, edge_idx, weights = _index_edges(pdf)
+        membership = _detect_membership(
+            len(fnames), edge_idx, resolution, seed, have_leiden,
+            weights=weights,
+        )
+        return pd.DataFrame(
+            {
+                "component": component,
+                "frag": fnames,
+                "coarse": [int(c) for c in membership],
+            }
+        )
+
+    def merge_fn_for(level: int):
+        def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            component, bucket = key
+            fnames, edge_idx, weights = _index_edges(pdf)
+            membership = _detect_membership(
+                len(fnames), edge_idx, resolution, seed, have_leiden,
+                weights=weights,
+            )
+            return pd.DataFrame(
+                {
+                    "component": component,
+                    "frag": fnames,
+                    "newfrag": [
+                        f"{level}-{bucket}-{c}" for c in membership
+                    ],
+                }
+            )
+
+        return merge_fn
+
+    finished: list = []
+    for level in range(MAX_COARSEN_LEVELS + 1):
+        # cut lineage per level: cgraph/mem are each referenced by
+        # several consumers below, and the next level builds on both —
+        # uncut, the logical plan grows multiplicatively per level
+        cgraph = cgraph.localCheckpoint(eager=True)
+        flist = mem.select("component", "frag").distinct()
+        sizes = (
+            flist.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("nf"))
+            .join(
+                cgraph.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("ne")),
+                "component", "left",
+            )
+            .fillna(0, ["ne"])
+            .withColumn("nu", F.col("nf") + F.col("ne"))
+            .localCheckpoint(eager=True)
+        )
+        big = sizes.where(F.col("nu") > gate).select("component", "nu")
+        small = sizes.where(F.col("nu") <= gate).select("component")
+
+        frag_rows = flist.select(
+            "component", F.col("frag").alias("fa"),
+            F.lit(None).cast("string").alias("fb"),
+            F.lit(0.0).alias("w"),
+        )
+        small_in = (
+            frag_rows.join(small, "component", "left_semi")
+            .unionByName(cgraph.join(small, "component", "left_semi"))
+        )
+        labels = small_in.groupBy("component").applyInPandas(
+            final_fn, schema=final_schema
+        )
+        finished.append(
+            mem.join(labels, ["component", "frag"]).select(
+                "component", "entity_name", "coarse"
+            )
+        )
+
+        if big.limit(1).count() == 0:
+            break
+        if level == MAX_COARSEN_LEVELS:
+            import logging
+
+            logging.getLogger("graphgen_spark.partitioners").warning(
+                "leiden gate: component(s) still above gate=%d after "
+                "%d coarsening levels — keeping their fragments as "
+                "communities (no community structure to contract into)",
+                gate, level,
+            )
+            wfrag = Window.partitionBy("component").orderBy("frag")
+            ident = (
+                flist.join(
+                    big.select("component"), "component", "left_semi"
+                )
+                .withColumn(
+                    "coarse",
+                    (F.row_number().over(wfrag) - 1).cast("long"),
+                )
+            )
+            finished.append(
+                mem.join(ident, ["component", "frag"]).select(
+                    "component", "entity_name", "coarse"
+                )
+            )
+            break
+
+        # bucket the FRAGMENTS of still-giant components and merge
+        # locally; cross-bucket contracted edges re-aggregate at the
+        # next level's contraction, so mass is deferred, never lost
+        nb = F.ceil(F.col("nu") / F.lit(gate))
+        b_frag = (
+            frag_rows.join(big, "component")
+            .withColumn("_bucket", F.pmod(F.xxhash64("fa"), nb))
+        )
+        b_edge = (
+            cgraph.join(big, "component")
+            .withColumn("_ba", F.pmod(F.xxhash64("fa"), nb))
+            .where(F.col("_ba") == F.pmod(F.xxhash64("fb"), nb))
+            .withColumn("_bucket", F.col("_ba"))
+        )
+        merge_in = b_frag.select(
+            "component", "_bucket", "fa", "fb", "w"
+        ).unionByName(
+            b_edge.select("component", "_bucket", "fa", "fb", "w")
+        )
+        relabel = merge_in.groupBy("component", "_bucket").applyInPandas(
+            merge_fn_for(level), schema=relabel_schema
+        )
+        # inner joins restrict mem (and therefore the re-contraction)
+        # to the still-unfinished components
+        mem = (
+            mem.join(relabel, ["component", "frag"])
+            .select(
+                "component", "entity_name",
+                F.col("newfrag").alias("frag"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cgraph = (
+            e.join(
+                mem.select(
+                    "component", F.col("entity_name").alias("a"),
+                    F.col("frag").alias("fa"),
+                ),
+                ["component", "a"],
+            )
+            .join(
+                mem.select(
+                    "component", F.col("entity_name").alias("b"),
+                    F.col("frag").alias("fb"),
+                ),
+                ["component", "b"],
+            )
+            .groupBy("component", "fa", "fb")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        )
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _gated_leiden_rows(
+    gunits: DataFrame, max_size: int, resolution: float, seed: int,
+    have_leiden: bool, gate: int,
+) -> DataFrame:
+    """Community rows for GATED giant components, via one level of
+    distributed Louvain coarsening (Blondel et al. 2008 §2's
+    aggregation step, distributed):
+
+    1. fragment pass — per (component, hash-bucket) detection exactly
+       as before, but emitting a node->fragment membership instead of
+       final rows;
+    2. contraction — every edge unit of the component (INCLUDING the
+       cross-bucket edges the fragment pass never saw) is mapped to a
+       (frag_a, frag_b) pair and weight-aggregated: one groupBy, size
+       ~ |fragments| + distinct fragment pairs, orders of magnitude
+       smaller than the component;
+    3. coarse pass — iterative weighted detection over the contracted
+       graph (``_coarsen_to_membership``): components whose contracted
+       graph fits ``gate`` finalize in one weighted task (self-loops
+       carry intra-fragment mass, so this optimizes the original
+       graph's modularity restricted to fragment-respecting
+       partitions — fragments of one true community, split by the
+       hash gate, are re-merged by the cross-bucket edge mass);
+       still-giant contracted graphs are re-bucketed BY FRAGMENT and
+       locally merged, level by level, until they fit (community-free
+       graphs — e.g. long chains — contract slowly and keep their
+       fragments as communities after ``MAX_COARSEN_LEVELS``, loudly);
+    4. row build — fully distributed: deterministic max_size chunking
+       by rank-over-(community, name) window, induced edges re-joined
+       by endpoint chunk keys.  The window sort is per final
+       community (not per component); a community is Louvain-bounded,
+       orders of magnitude smaller than a gated component.
+
+    Measured on the 301k-unit planted-partition probe
+    (tools/louvain_gate_probe.py, K=1000 S=100 gate=80k -> 4 buckets):
+    pre-coarsening gated modularity was 0.2504 vs 0.9955 ungated
+    (fragments never re-merged); the coarse pass recovers it — see
+    BASELINE.md round-6 table."""
+    from pyspark.sql import Window
+
+    tag = "leiden" if have_leiden else "louvain"
+    gunits = gunits.persist()
+    if gunits.isEmpty():
+        # common case below web scale: nothing gated — skip the
+        # coarsening loop's per-level count actions entirely
+        return gunits.sparkSession.createDataFrame(
+            [], schema=COMMUNITY_SCHEMA
+        )
+
+    frag_schema = T.StructType(
+        [
+            T.StructField("component", T.LongType(), False),
+            T.StructField("entity_name", T.StringType(), False),
+            T.StructField("frag", T.StringType(), False),
+        ]
+    )
+
+    def frag_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        component, bucket = key
+        names, edge_idx, _ = _leiden_index(pdf)
+        membership = _detect_membership(
+            len(names), edge_idx, resolution, seed, have_leiden
+        )
+        return pd.DataFrame(
+            {
+                "component": component,
+                "entity_name": names,
+                "frag": [f"{bucket}-{c}" for c in membership],
+            }
+        )
+
+    # localCheckpoint (not persist): the coarsening loop re-joins
+    # this frame level after level — without cutting lineage the
+    # logical plan grows multiplicatively per level and the driver
+    # OOMs rendering it (same pattern as components.py fixpoint)
+    frags = (
+        gunits.groupBy("component", "_bucket")
+        .applyInPandas(frag_fn, schema=frag_schema)
+        .localCheckpoint(eager=True)
+    )
+
+    # contracted fragment graph: EVERY edge of the component rides in,
+    # cross-bucket ones included — they are exactly the mass that lets
+    # the coarse pass re-merge a community the hash gate split
+    e = gunits.where(F.col("kind") == "e").select("component", "a", "b")
+    contracted = (
+        e.join(
+            frags.select(
+                "component", F.col("entity_name").alias("a"),
+                F.col("frag").alias("fa"),
+            ),
+            ["component", "a"],
+        )
+        .join(
+            frags.select(
+                "component", F.col("entity_name").alias("b"),
+                F.col("frag").alias("fb"),
+            ),
+            ["component", "b"],
+        )
+        .groupBy("component", "fa", "fb")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    mem = _coarsen_to_membership(
+        frags, contracted, e, gate, resolution, seed, have_leiden
+    )
+
+    # distributed row build: rank-chunking + induced-edge re-join
+    wcomm = Window.partitionBy("component", "coarse").orderBy(
+        "entity_name"
+    )
+    node_chunk = mem.withColumn(
+        "k",
+        ((F.row_number().over(wcomm) - 1) / max_size).cast("int"),
+    ).persist()
+    node_rows = node_chunk.groupBy("component", "coarse", "k").agg(
+        F.sort_array(F.collect_list("entity_name")).alias("nodes")
+    )
+    edge_rows = (
+        e.join(
+            node_chunk.select(
+                "component", F.col("entity_name").alias("a"),
+                "coarse", "k",
+            ),
+            ["component", "a"],
+        )
+        .join(
+            node_chunk.select(
+                "component", F.col("entity_name").alias("b"),
+                F.col("coarse").alias("cb"), F.col("k").alias("kb"),
+            ),
+            ["component", "b"],
+        )
+        .where((F.col("coarse") == F.col("cb")) & (F.col("k") == F.col("kb")))
+        .groupBy("component", "coarse", "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    )
+                )
+            ).alias("edges")
+        )
+    )
+    empty_edges = F.array().cast(
+        "array<struct<src:string,dst:string>>"
+    )
+    return (
+        node_rows.join(edge_rows, ["component", "coarse", "k"], "left")
+        .withColumn("edges", F.coalesce("edges", empty_edges))
+        .select(
+            F.concat_ws(
+                "-", F.lit(tag), F.col("coarse"), F.col("k"),
+                F.element_at("nodes", 1),
+            ).alias("community_id"),
+            "nodes",
+            "edges",
+            (F.size("nodes") + F.size("edges")).cast("int").alias(
+                "n_units"
+            ),
+            F.lit(0).cast("long").alias("token_sum"),
+        )
     )
 
 

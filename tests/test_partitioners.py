@@ -504,3 +504,140 @@ class TestLeidenSharedPath:
         assert rows[2][2] == [{"src": "D", "dst": "E"}]
         # n_units = nodes + induced edges
         assert [r[3] for r in rows] == [3, 1, 3]
+
+
+class TestGatedLouvainCoarsening:
+    """The giant-component gate must not wreck community quality:
+    the louvain_gate_probe measured pre-coarsening gated modularity at
+    0.25x the ungated value on a planted-partition graph (fragments of
+    one true community, split across hash buckets, were never
+    re-merged).  The coarse pass contracts fragments to super-nodes
+    and re-runs weighted Louvain on the contracted graph, where the
+    cross-bucket edge mass re-merges them."""
+
+    K, S = 40, 30  # 40 planted communities of 30 nodes
+
+    def _planted(self, spark):
+        """One connected component: K ring+chord communities chained
+        by single bridge edges (the probe's graph, scaled down)."""
+        K, S = self.K, self.S
+        n = K * S
+        nodes = spark.range(n).select(
+            F.format_string("n%05d", F.col("id")).alias("entity_name"),
+            F.lit("ORG").alias("entity_type"),
+            F.lit("d").alias("description"),
+            F.lit(3).cast("long").alias("length"),
+        )
+        base = spark.range(n).select(
+            (F.col("id") / S).cast("long").alias("c"),
+            (F.col("id") % S).alias("i"),
+            F.col("id"),
+        )
+        ring = base.select(
+            F.col("id").alias("u"),
+            (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
+        )
+        chord = base.select(
+            F.col("id").alias("u"),
+            (F.col("c") * S + (F.col("i") + 5) % S).alias("v"),
+        )
+        bridge = spark.range(K - 1).select(
+            (F.col("id") * S).alias("u"),
+            ((F.col("id") + 1) * S).alias("v"),
+        )
+        edges = (
+            ring.unionByName(chord).unionByName(bridge)
+            .select(
+                F.format_string("n%05d", F.col("u")).alias("src_id"),
+                F.format_string("n%05d", F.col("v")).alias("tgt_id"),
+                F.lit("r").alias("description"),
+                F.lit(4).cast("long").alias("length"),
+            )
+        )
+        return nodes, edges
+
+    @staticmethod
+    def _modularity(edge_list, comm_of):
+        """Newman modularity over the FULL edge set (bridges and all)."""
+        m = len(edge_list)
+        intra: dict = {}
+        deg: dict = {}
+        for u, v in edge_list:
+            cu, cv = comm_of[u], comm_of[v]
+            deg[cu] = deg.get(cu, 0) + 1
+            deg[cv] = deg.get(cv, 0) + 1
+            if cu == cv:
+                intra[cu] = intra.get(cu, 0) + 1
+        return sum(
+            intra.get(c, 0) / m - (d / (2.0 * m)) ** 2
+            for c, d in deg.items()
+        )
+
+    def test_gated_quality_and_membership(self, spark):
+        nodes, edges = self._planted(spark)
+        n = self.K * self.S
+        edge_list = [
+            (r["src_id"], r["tgt_id"]) for r in edges.collect()
+        ]
+
+        def membership(comms):
+            out = {}
+            for r in comms.select("community_id", "nodes").collect():
+                for name in r["nodes"]:
+                    out.setdefault(name, []).append(r["community_id"])
+            return out
+
+        # 3639 units, gate=900 -> 5 hash buckets
+        gated = leiden_partition(
+            nodes, edges, max_size=10**9, component_unit_gate=900
+        )
+        mg = membership(gated)
+        assert len(mg) == n                       # every node covered
+        assert all(len(v) == 1 for v in mg.values())  # exactly once
+
+        ungated = leiden_partition(nodes, edges, max_size=10**9)
+        mu = membership(ungated)
+        q_gated = self._modularity(
+            edge_list, {k: v[0] for k, v in mg.items()}
+        )
+        q_ungated = self._modularity(
+            edge_list, {k: v[0] for k, v in mu.items()}
+        )
+        # pre-coarsening this ratio measured ~0.25; the coarse pass
+        # must recover near-parity with the ungated partition
+        assert q_ungated > 0.9
+        assert q_gated >= 0.9 * q_ungated
+
+    def test_gated_chunking_and_induced_edges(self, spark):
+        """max_size chunking + induced-edge arrays on the gated path:
+        bounded chunks, no node or edge in two communities, and
+        cross-bucket edges DO appear in induced arrays when their
+        endpoints land in the same final chunk."""
+        nodes, edges = self._planted(spark)
+        comms = leiden_partition(
+            nodes, edges, max_size=7, component_unit_gate=900
+        ).localCheckpoint(eager=True)
+        agg = comms.select(
+            F.sum(F.size("nodes")).alias("covered"),
+            F.max(F.size("nodes")).alias("biggest"),
+        ).collect()[0]
+        assert agg["covered"] == self.K * self.S
+        assert agg["biggest"] <= 7
+        dup_edges = (
+            comms.select(F.explode("edges").alias("e"))
+            .groupBy("e.src", "e.dst").count()
+            .where(F.col("count") > 1).count()
+        )
+        assert dup_edges == 0
+        # induced edges live inside their chunk's node set
+        bad = (
+            comms.select(
+                "community_id", "nodes", F.explode("edges").alias("e")
+            )
+            .where(
+                ~F.array_contains("nodes", F.col("e.src"))
+                | ~F.array_contains("nodes", F.col("e.dst"))
+            )
+            .count()
+        )
+        assert bad == 0

@@ -1,11 +1,18 @@
 """Quantify the giant-component gate's community-quality cost
 (VERDICT r5 #3): ``leiden_partition`` hash-buckets components above
 ``component_unit_gate`` so no single task runs the pure-Python
-modularity search over a web-scale component — communities can then
-never span buckets and ~(1 - 1/n_buckets) of the component's edges
-are dropped from community induction (logged since r6).  "Degrades
-gracefully" was argued, not measured; this probe turns it into a
-number.
+modularity search over a web-scale component.  "Degrades gracefully"
+was argued, not measured; this probe turns it into a number.
+
+Measured history (K=1000 S=100 gate=80k -> 4 buckets, local[8]):
+pre-coarsening (r5 code: per-bucket fragments WERE the communities,
+cross-bucket edges dropped) retention_vs_ungated = 0.2515 — i.e. the
+graceful-degradation claim was false.  With the r6 iterative
+coarsening pass (fragments contracted to super-nodes, weighted
+detection over the contracted graph re-merges fragments via the
+cross-bucket edge mass) retention_vs_ungated = 0.9994, and the gated
+run is FASTER than ungated (49.4 s vs 60.3 s: bucket tasks
+parallelize the Python detection).
 
 Setup: a planted-partition graph in ONE connected component —
 ``K`` communities of ``S`` nodes (ring + chord intra-edges, so each
