@@ -341,9 +341,11 @@ def _partition_with(
 
 
 def bfs_partition(nodes, edges, max_units=10, min_units=1,
-                  max_tokens=10240) -> DataFrame:
+                  max_tokens=10240,
+                  unit_sampling: str = "random") -> DataFrame:
     units = units_with_components(nodes, edges)
-    return _partition_with(units, "bfs", max_units, min_units, max_tokens)
+    return _partition_with(units, "bfs", max_units, min_units,
+                           max_tokens, unit_sampling)
 
 
 def dfs_partition(nodes, edges, max_units=10, min_units=1,
