@@ -660,6 +660,303 @@ def _kg_communities_quint_exact_oracle() -> str:
     """
 
 
+# Shared parameters of the exact-BFS-membership pair below: the Spark
+# query and the DuckDB replay must agree on every budget and on the
+# entity bucket, so both read these names.
+_BFS_EXACT_MAX_UNITS = 7
+_BFS_EXACT_MAX_TOKENS = 200
+_BFS_EXACT_NIBBLES = ("0", "1", "2", "3")
+
+
+def _q_kg_communities_bfs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT community membership for the flagship greedy BFS
+    partitioner (reference ``bfs_partitioner.py``; ``kg_communities_
+    quint_exact`` covers the quintuple strategy, ``kg_communities_
+    check`` the full-graph conservation laws — this closes the last
+    gap: seeded BFS growth itself, every community's id, member
+    lists, and token sum hash-checked).
+
+    Replayability: ``unit_sampling='min_loss'`` with no judge losses
+    attached orders seeds AND frontier expansions by
+    ``(DEFAULT_LOSS, str(unit_key))`` — deterministic lexicographic
+    order DuckDB can reproduce (node key = the name; edge key =
+    ``str(('a','b'))``, safe to rebuild in SQL because canonical
+    entity names are upper alnum+space).  The growth is sequential-
+    stateful, so the oracle steps it with a recursive CTE — one
+    iteration per seed pick or frontier pop (the pop accepts its
+    budget-gated prefix of sorted eligible neighbors in one step,
+    exactly the kernel's inner for-loop).  Per-component frames ≡ one
+    global sorted walk: growth cannot cross components, and at oracle
+    scale no component crosses the 200k-unit hash-bucket gate.
+
+    The walk runs on the subgraph induced by a deterministic md5
+    bucket of entities (4/16 of names ≈ 380 nodes, 140 edges at the
+    oracle SF) because the sequential replay is O(steps × |units|) in
+    DuckDB — full-graph coverage of the same partitioner stays
+    hash-checked via kg_communities_check's conservation laws.
+    max_tokens=200 / max_units=7 make BOTH greedy stopping
+    conditions bind on the real bucket (unit lengths average ~50
+    gated tokens: 4 communities stop on size, 18 on token budget at
+    the oracle SF)."""
+    from graphgen_spark.operators.partitioners import bfs_partition
+
+    kg = _kg_wholedoc(spark, sf_dir, linked=True)
+    in_bucket = F.substring(F.md5("entity_name"), 1, 1).isin(
+        *_BFS_EXACT_NIBBLES
+    )
+    nodes = kg["nodes"].where(in_bucket)
+    names = nodes.select("entity_name")
+    edges = (
+        kg["edges"]
+        .join(
+            names.withColumnRenamed("entity_name", "src_id"),
+            "src_id", "left_semi",
+        )
+        .join(
+            names.withColumnRenamed("entity_name", "tgt_id"),
+            "tgt_id", "left_semi",
+        )
+    )
+    comms = bfs_partition(
+        nodes, edges,
+        max_units=_BFS_EXACT_MAX_UNITS, min_units=1,
+        max_tokens=_BFS_EXACT_MAX_TOKENS, unit_sampling="min_loss",
+    )
+    return comms.select(
+        "community_id",
+        F.array_join("nodes", ",").alias("nodes_str"),
+        F.array_join(
+            F.transform(
+                "edges", lambda e: F.concat_ws("|", e["src"], e["dst"])
+            ),
+            ",",
+        ).alias("edges_str"),
+        F.col("n_units").cast("int").alias("n_units"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+    ).orderBy("community_id", "nodes_str")
+
+
+def _kg_communities_bfs_exact_oracle() -> str:
+    """Recursive-CTE replay of the seeded BFS greedy growth over the
+    md5-bucket-induced KG subgraph.  The CTE is deliberately ORDER-
+    INDEPENDENT: DuckDB's parallel list() aggregation does not
+    guarantee element order, and positional reads of >2048-element
+    lists proved unreliable under threads>1 — so the walk never
+    trusts list order.  The next seed is picked by a min-by-skey
+    ``list_reduce`` over the unordered remaining-unit set, and
+    expansion candidate lists are ``list_sort``-ed at use (skey is
+    the first struct field, so struct natural order == skey order);
+    isolated bucket nodes — always singleton communities at
+    min_units=1, unreachable by any growth — are emitted by a plain
+    anti-join around the walk, which keeps the sequential replay to
+    the ~280 edge-touched units."""
+    _, length = _gate_sql("descr")
+    ctes = _kg_node_merged_ctes(edges=True).replace(
+        "WITH pages", "WITH RECURSIVE pages", 1
+    )
+    nibbles = ",".join(f"'{n}'" for n in _BFS_EXACT_NIBBLES)
+    walk = """,
+        bnodes AS MATERIALIZED (
+            SELECT entity_name AS name, CAST(@LEN@ AS BIGINT) AS len
+            FROM (SELECT entity_name, descr FROM merged
+                  WHERE substr(md5(entity_name), 1, 1) IN (@NIB@))
+        ),
+        bedges AS MATERIALIZED (
+            SELECT e.src_id AS src, e.tgt_id AS tgt,
+                   CAST(@ELEN@ AS BIGINT) AS len
+            FROM emerged e
+            JOIN bnodes a ON e.src_id = a.name
+            JOIN bnodes b ON e.tgt_id = b.name
+        ),
+        touched AS MATERIALIZED (
+            SELECT DISTINCT src AS name FROM bedges
+            UNION SELECT DISTINCT tgt FROM bedges
+        ),
+        units AS MATERIALIZED (
+            SELECT name AS skey, 'n:' || name AS u, len FROM bnodes
+            WHERE name IN (SELECT name FROM touched)
+            UNION ALL
+            SELECT '(' || chr(39) || src || chr(39) || ', ' || chr(39)
+                       || tgt || chr(39) || ')',
+                   'e:' || src || '|' || tgt, len
+            FROM bedges
+        ),
+        pool AS MATERIALIZED (
+            SELECT list(STRUCT_PACK(skey := skey, u := u,
+                                    len := len)) AS rem
+            FROM units
+        ),
+        expand AS MATERIALIZED (
+            -- node unit -> incident edge units; edge unit -> its two
+            -- node units.  Lists are UNORDERED here; sorted at use.
+            SELECT 'n:' || nm AS u,
+                   list(STRUCT_PACK(skey := skey, u := eu,
+                                    len := elen)) AS cands
+            FROM (
+                SELECT src AS nm, 'e:' || src || '|' || tgt AS eu,
+                       len AS elen,
+                       '(' || chr(39) || src || chr(39) || ', '
+                           || chr(39) || tgt || chr(39) || ')' AS skey
+                FROM bedges
+                UNION ALL
+                SELECT tgt, 'e:' || src || '|' || tgt, len,
+                       '(' || chr(39) || src || chr(39) || ', '
+                           || chr(39) || tgt || chr(39) || ')'
+                FROM bedges
+            ) GROUP BY nm
+            UNION ALL
+            SELECT 'e:' || e.src || '|' || e.tgt,
+                   list(STRUCT_PACK(skey := x.nm, u := x.nu,
+                                    len := x.nlen2))
+            FROM bedges e, LATERAL (
+                SELECT n.name AS nm, 'n:' || n.name AS nu,
+                       n.len AS nlen2
+                FROM bnodes n WHERE n.name IN (e.src, e.tgt)
+            ) x
+            GROUP BY e.src, e.tgt
+        ),
+        walk(step, seed, rem, frontier, comm_n, comm_e, toks,
+             emit_seed, emit_n, emit_e, emit_toks) AS (
+            SELECT 0, CAST(NULL AS VARCHAR), p.rem,
+                   CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+                   CAST([] AS VARCHAR[]), CAST(0 AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR[]),
+                   CAST(NULL AS VARCHAR[]), CAST(NULL AS BIGINT)
+            FROM pool p
+            UNION ALL
+            SELECT w.step + 1,
+                   CASE WHEN growing THEN w.seed ELSE nxt.u END,
+                   CASE WHEN growing
+                        THEN list_filter(w.rem, r -> NOT
+                                 list_contains(st.acc_us, r.u))
+                        ELSE list_filter(w.rem, r -> r.u != nxt.u)
+                        END,
+                   CASE WHEN growing THEN w.frontier[2:] || st.acc_us
+                        WHEN nxt.u IS NOT NULL THEN [nxt.u]
+                        ELSE CAST([] AS VARCHAR[]) END,
+                   CASE WHEN growing
+                        THEN w.comm_n || list_transform(
+                            list_filter(st.acc_us,
+                                        a -> a[1:2] = 'n:'),
+                            a -> a[3:])
+                        WHEN nxt.u IS NOT NULL AND nxt.u[1:2] = 'n:'
+                        THEN [nxt.u[3:]]
+                        ELSE CAST([] AS VARCHAR[]) END,
+                   CASE WHEN growing
+                        THEN w.comm_e || list_transform(
+                            list_filter(st.acc_us,
+                                        a -> a[1:2] = 'e:'),
+                            a -> a[3:])
+                        WHEN nxt.u IS NOT NULL AND nxt.u[1:2] = 'e:'
+                        THEN [nxt.u[3:]]
+                        ELSE CAST([] AS VARCHAR[]) END,
+                   CASE WHEN growing THEN w.toks + st.acc_tok
+                        WHEN nxt.u IS NOT NULL THEN nxt.len
+                        ELSE 0 END,
+                   CASE WHEN NOT growing AND w.seed IS NOT NULL
+                        THEN w.seed ELSE NULL END,
+                   CASE WHEN NOT growing AND w.seed IS NOT NULL
+                        THEN w.comm_n ELSE NULL END,
+                   CASE WHEN NOT growing AND w.seed IS NOT NULL
+                        THEN w.comm_e ELSE NULL END,
+                   CASE WHEN NOT growing AND w.seed IS NOT NULL
+                        THEN w.toks ELSE NULL END
+            FROM walk w,
+            LATERAL (
+                SELECT w.seed IS NOT NULL
+                       AND len(w.frontier) > 0
+                       AND len(w.comm_n) + len(w.comm_e) < @MU@
+                       AND w.toks < @MT@ AS growing
+            ) g,
+            LATERAL (
+                -- next seed: min-by-skey over the UNORDERED rem set
+                -- (skeys are unique, so the fold has no ties)
+                SELECT CASE WHEN growing OR len(w.rem) = 0
+                       THEN STRUCT_PACK(
+                            skey := CAST(NULL AS VARCHAR),
+                            u := CAST(NULL AS VARCHAR),
+                            len := CAST(NULL AS BIGINT))
+                       ELSE list_reduce(
+                           w.rem,
+                           (a, b) -> CASE WHEN a.skey <= b.skey
+                                     THEN a ELSE b END)
+                       END AS nxt
+            ) s0,
+            LATERAL (
+                SELECT CASE WHEN growing THEN list_sort((
+                           SELECT COALESCE(any_value(x.cands),
+                               CAST([] AS STRUCT(skey VARCHAR,
+                                   u VARCHAR, len BIGINT)[]))
+                           FROM expand x WHERE x.u = w.frontier[1]
+                       )) ELSE CAST([] AS STRUCT(skey VARCHAR,
+                                   u VARCHAR, len BIGINT)[])
+                       END AS raw
+            ) c0,
+            LATERAL (
+                SELECT list_filter(
+                           c0.raw,
+                           c -> list_contains(
+                               list_transform(w.rem, r -> r.u), c.u)
+                       ) AS elig
+            ) c1,
+            LATERAL (
+                -- the kernel's inner for-loop: accept the prefix of
+                -- sorted eligible neighbors that fits both budgets,
+                -- checking BEFORE each add
+                SELECT len(list_filter(
+                           range(len(c1.elig)),
+                           i -> len(w.comm_n) + len(w.comm_e) + i
+                                    < @MU@
+                                AND w.toks + COALESCE(list_sum(
+                                        list_transform(c1.elig[1:i],
+                                                       e -> e.len)), 0)
+                                    < @MT@
+                       )) AS k
+            ) c2,
+            LATERAL (
+                SELECT list_transform(c1.elig[1:c2.k],
+                                      e -> e.u) AS acc_us,
+                       COALESCE(list_sum(list_transform(
+                           c1.elig[1:c2.k], e -> e.len)), 0) AS acc_tok
+            ) st
+            WHERE w.seed IS NOT NULL OR len(w.rem) > 0
+        ),
+        emitted AS (
+            SELECT emit_seed AS seed, emit_n, emit_e, emit_toks
+            FROM walk WHERE emit_seed IS NOT NULL
+        )
+        SELECT CASE WHEN seed[1:2] = 'n:' THEN 'comm-' || seed[3:]
+                    ELSE 'comm-' || replace(seed[3:], '|', '-') END
+                   AS community_id,
+               COALESCE(array_to_string(list_sort(emit_n), ','), '')
+                   AS nodes_str,
+               COALESCE(array_to_string(list_transform(
+                   list_sort(list_transform(emit_e,
+                       e -> STRUCT_PACK(
+                           src := split_part(e, '|', 1),
+                           dst := split_part(e, '|', 2)))),
+                   s -> s.src || '|' || s.dst), ','), '') AS edges_str,
+               CAST(len(emit_n) + len(emit_e) AS INT) AS n_units,
+               CAST(emit_toks AS BIGINT) AS token_sum
+        FROM emitted
+        UNION ALL
+        SELECT 'comm-' || name, name, '', 1, CAST(len AS BIGINT)
+        FROM bnodes WHERE name NOT IN (SELECT name FROM touched)
+        ORDER BY community_id, nodes_str
+    """
+    walk = (
+        walk
+        .replace("@LEN@", length)
+        .replace("@ELEN@", length.replace("descr", "e.descr"))
+        .replace("@NIB@", nibbles)
+        .replace("@MU@", str(_BFS_EXACT_MAX_UNITS))
+        .replace("@MT@", str(_BFS_EXACT_MAX_TOKENS))
+    )
+    return ctes + walk
+
+
 def _q_kg_qa_multi_answer_star(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2023,12 +2320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities_triple": _q_kg_communities_triple,
         "kg_communities_check": _q_kg_communities_check,
         "kg_communities_quint_exact": _q_kg_communities_quint_exact,
+        "kg_communities_bfs_exact": _q_kg_communities_bfs_exact,
         "kg_louvain_check": _q_kg_louvain_check,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_qa_aggregated_triple": _mk_kg_qa_triple("aggregated"),
         "kg_qa_quiz_triple": _mk_kg_qa_triple("quiz"),
-        "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
         "kg_qa_masked_fib_triple": _mk_kg_qa_triple(
             "masked_fill_in_blank"
         ),
@@ -2085,6 +2382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vqa had NO hash-checked row at all.  Hash-verified below via
         # DEMOTED_ORACLES.
         "kg_qa_cot_triple": _mk_kg_qa_triple("cot"),
+        # kg_qa_fib_triple DEMOTED in r6 for kg_communities_bfs_exact:
+        # the still-green masked-fib oracle strictly supersets fib's
+        # machinery (same blank-template regex over the same merged
+        # CTE chain, plus the crc32->md5-prefix pick on top), while
+        # the flagship BFS partitioner's exact membership had only
+        # conservation-law coverage.  Hash-verified via
+        # DEMOTED_ORACLES.
+        "kg_qa_fib_triple": _mk_kg_qa_triple("fill_in_blank"),
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -2682,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities_triple": _kg_communities_triple_oracle(),
         "kg_communities_check": _kg_communities_check_oracle(),
         "kg_communities_quint_exact": _kg_communities_quint_exact_oracle(),
+        "kg_communities_bfs_exact": _kg_communities_bfs_exact_oracle(),
         "kg_louvain_check": _kg_louvain_check_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
@@ -2689,7 +2995,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_merged": _kg_nodes_merged_oracle(),
         "kg_qa_aggregated_triple": _kg_qa_aggregated_oracle(),
         "kg_qa_quiz_triple": _kg_qa_quiz_oracle(),
-        "kg_qa_fib_triple": _kg_qa_fib_oracle(),
         "kg_qa_masked_fib_triple": _kg_qa_masked_fib_oracle(),
         "kg_qa_multi_answer_star": _kg_qa_multi_answer_star_oracle(),
         "kg_qa_vqa_hist": _kg_qa_vqa_hist_oracle(),
@@ -3148,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
 # that out of module import).
 DEMOTED_ORACLES: dict = {
     "kg_qa_true_false": _kg_qa_true_false_oracle,
+    "kg_qa_fib_triple": _kg_qa_fib_oracle,
     "kg_qa_atomic_triple": _kg_qa_atomic_oracle,
     "kg_qa_cot_triple": _kg_qa_cot_oracle,
     "pricing_summary": """
