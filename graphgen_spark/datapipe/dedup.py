@@ -354,13 +354,14 @@ def minhash_verified_pairs(
     ))
 
     # verify candidates with exact n-gram Jaccard.  r6 shape: capped
-    # candidate volume is tiny and SUB-linear in corpus size (measured
-    # 48.8k pairs at 160k pages -> 147k at 640k, bands=4/cap=25 —
-    # BENCH_SCALING.jsonl candonly lines) while the shingle POSTINGS
-    # table is strictly linear and huge (~128M rows at 640k pages), so
-    # the old candidates×postings verification join shuffled the whole
-    # postings table to score a droplet of pairs and dominated the
-    # wall (~600 of 724 s at 640k).  Instead: semi-join-prune docs to
+    # candidate volume is tiny and near-linear in corpus size
+    # (measured 48.8k pairs at 160k pages -> 147k at 640k,
+    # bands=4/cap=25 — BENCH_SCALING.jsonl lsh_candidate_pairs lines)
+    # while the shingle POSTINGS table is strictly linear and huge
+    # (~128M rows at 640k pages), so the old candidates×postings
+    # verification join shuffled the whole postings table to score a
+    # droplet of pairs and dominated the wall.  Instead: semi-join-
+    # prune docs to
     # candidate members (AQE broadcasts the tiny member list), build
     # each member's distinct-shingle ARRAY inline (no explode, no
     # groupBy), and score pairs with array_intersect — every shuffle
