@@ -349,9 +349,11 @@ def bfs_partition(nodes, edges, max_units=10, min_units=1,
 
 
 def dfs_partition(nodes, edges, max_units=10, min_units=1,
-                  max_tokens=10240) -> DataFrame:
+                  max_tokens=10240,
+                  unit_sampling: str = "random") -> DataFrame:
     units = units_with_components(nodes, edges)
-    return _partition_with(units, "dfs", max_units, min_units, max_tokens)
+    return _partition_with(units, "dfs", max_units, min_units,
+                           max_tokens, unit_sampling)
 
 
 def ece_partition(nodes, edges, max_units=20, min_units=5,
@@ -365,13 +367,14 @@ def ece_partition(nodes, edges, max_units=20, min_units=5,
 
 
 def anchor_bfs_partition(nodes, edges, anchor_type: str, max_units=10,
-                         min_units=1, max_tokens=10240) -> DataFrame:
+                         min_units=1, max_tokens=10240,
+                         unit_sampling: str = "random") -> DataFrame:
     anchors = nodes.where(
         F.lower("entity_type").contains(anchor_type.lower())
     ).select("entity_name")
     units = units_with_components(nodes, edges)
     return _partition_with(
-        units, "bfs", max_units, min_units, max_tokens,
+        units, "bfs", max_units, min_units, max_tokens, unit_sampling,
         anchor_names=anchors,
     )
 

@@ -105,6 +105,37 @@ class TestConfigRunner:
         with pytest.raises(NotImplementedError, match="network"):
             OPERATORS["search"](spark, [], {})
 
+    def test_partition_param_map_matches_signatures(self):
+        """Every YAML-mappable partition param must be a keyword the
+        budgeted partitioners actually accept — a map/signature drift
+        means a valid config TypeErrors at plan time (caught live:
+        unit_sampling was mapped but dfs/anchor_bfs lacked the
+        kwarg)."""
+        import inspect
+
+        from graphgen_spark.operators import partitioners as P
+        from graphgen_spark.run import _PARTITION_PARAM_MAP
+
+        budget_kwargs = {
+            "max_units", "min_units", "max_tokens", "unit_sampling",
+        }
+        for fn in (
+            P.bfs_partition, P.dfs_partition, P.ece_partition,
+            P.anchor_bfs_partition,
+        ):
+            params = set(inspect.signature(fn).parameters)
+            missing = budget_kwargs - params
+            assert not missing, (fn.__name__, missing)
+        # and the map's value side only names real kwargs somewhere
+        all_kwargs = set()
+        for fn in (
+            P.bfs_partition, P.dfs_partition, P.ece_partition,
+            P.anchor_bfs_partition, P.leiden_partition,
+        ):
+            all_kwargs |= set(inspect.signature(fn).parameters)
+        for mapped in _PARTITION_PARAM_MAP.values():
+            assert mapped in all_kwargs, mapped
+
     def test_evaluate_triple_target(self, spark, config):
         cfg = {
             "nodes": config["nodes"][:3] + [
