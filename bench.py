@@ -66,13 +66,31 @@ def run_kg(spark, sf_dir: str) -> tuple[float, int, float]:
     )
     dict_prep = time.time() - t0
 
-    t0 = time.time()
-    out = run_kg_pipeline(
-        spark, pages, precomputed_labels=labels,
-        chunk_size=512, chunk_overlap=64, fused=True,
-    )
-    n_triples = out["triples"].count()
-    return time.time() - t0, n_triples, dict_prep
+    # min-of-3 for the HEADLINE too (the per-query walls already get
+    # it): a single-shot wall swung 2.6-4.5 s on this host for an
+    # identical plan, and the headline is the number rounds are
+    # compared on.  Each rep rebuilds the full pipeline from the same
+    # checkpointed inputs (no frame reuse across reps); the min is
+    # the steady-state estimate.
+    steady, n_triples = None, 0
+    for _ in range(3):
+        t0 = time.time()
+        out = run_kg_pipeline(
+            spark, pages, precomputed_labels=labels,
+            chunk_size=512, chunk_overlap=64, fused=True,
+        )
+        n_triples = out["triples"].count()
+        wall = time.time() - t0
+        steady = wall if steady is None else min(steady, wall)
+        # release each rep's localCheckpoint blocks NOW (ContextCleaner
+        # fires on Python GC): three reps' worth of leaked checkpoint
+        # RDDs measurably degraded every later documents-table scan in
+        # the same session (doc_quality_by_lang 0.3 -> 2.1 s)
+        del out
+        import gc
+
+        gc.collect()
+    return steady, n_triples, dict_prep
 
 
 def run_kg_pages(spark, n_pages: int) -> tuple[float, int, float]:
