@@ -63,10 +63,17 @@ warm = run_kg_pipeline(
 warm["triples"].count()
 
 pages = spark.read.parquet(corpus_dir)
+# SPARK_GRAFT_LABEL_MAP_MAX_ROWS overrides the map-side linking guard
+# (default 2M label rows) so the JVM-join linking regime can be
+# measured at corpus sizes below its natural crossover — within-regime
+# per-page cost is the honest linearity comparison once a corpus step
+# crosses the guard (2.56M pages -> 2.56M label rows > 2M).
+lmmr = int(os.environ.get("SPARK_GRAFT_LABEL_MAP_MAX_ROWS", 2_000_000))
 t0 = time.time()
 out = run_kg_pipeline(
     spark, pages, chunk_size=512, chunk_overlap=64,
     precomputed_labels=labels, fused=True,
+    label_map_max_rows=lmmr,
 )
 n = out["triples"].count()
 steady = time.time() - t0
