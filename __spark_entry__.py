@@ -665,7 +665,7 @@ def _kg_communities_quint_exact_oracle() -> str:
 # entity bucket, so both read these names.
 _BFS_EXACT_MAX_UNITS = 7
 _BFS_EXACT_MAX_TOKENS = 200
-_BFS_EXACT_NIBBLES = ("0", "1", "2", "3")
+_BFS_EXACT_NIBBLES = ("0", "1", "2")
 
 
 def _q_kg_communities_bfs_exact(
@@ -692,14 +692,16 @@ def _q_kg_communities_bfs_exact(
     scale no component crosses the 200k-unit hash-bucket gate.
 
     The walk runs on the subgraph induced by a deterministic md5
-    bucket of entities (4/16 of names ≈ 380 nodes, 140 edges at the
-    oracle SF) because the sequential replay is O(steps × |units|) in
-    DuckDB — full-graph coverage of the same partitioner stays
+    bucket of entities (3/16 of names ≈ 280 nodes, 70 edges at the
+    oracle SF) because the sequential replay is O(steps) in DuckDB
+    at ~15 ms per recursion step — the bucket keeps the oracle row
+    to ~4 s; full-graph coverage of the same partitioner stays
     hash-checked via kg_communities_check's conservation laws.
     max_tokens=200 / max_units=7 make BOTH greedy stopping
     conditions bind on the real bucket (unit lengths average ~50
-    gated tokens: 4 communities stop on size, 18 on token budget at
-    the oracle SF)."""
+    gated tokens: 1 community stops on size, 13 on token budget,
+    growth reaching 7 units / multi-hop frontiers at the oracle
+    SF)."""
     from graphgen_spark.operators.partitioners import bfs_partition
 
     kg = _kg_wholedoc(spark, sf_dir, linked=True)
