@@ -740,38 +740,16 @@ def _q_kg_communities_bfs_exact(
     ).orderBy("community_id", "nodes_str")
 
 
-def _kg_communities_bfs_exact_oracle() -> str:
-    """Recursive-CTE replay of the seeded BFS greedy growth over the
-    md5-bucket-induced KG subgraph.  The CTE is deliberately ORDER-
-    INDEPENDENT: DuckDB's parallel list() aggregation does not
-    guarantee element order, and positional reads of >2048-element
-    lists proved unreliable under threads>1 — so the walk never
-    trusts list order.  The next seed is picked by a min-by-skey
-    ``list_reduce`` over the unordered remaining-unit set, and
-    expansion candidate lists are ``list_sort``-ed at use (skey is
-    the first struct field, so struct natural order == skey order);
-    isolated bucket nodes — always singleton communities at
-    min_units=1, unreachable by any growth — are emitted by a plain
-    anti-join around the walk, which keeps the sequential replay to
-    the ~280 edge-touched units."""
-    _, length = _gate_sql("descr")
-    ctes = _kg_node_merged_ctes(edges=True).replace(
-        "WITH pages", "WITH RECURSIVE pages", 1
-    )
-    nibbles = ",".join(f"'{n}'" for n in _BFS_EXACT_NIBBLES)
-    walk = """,
-        bnodes AS MATERIALIZED (
-            SELECT entity_name AS name, CAST(@LEN@ AS BIGINT) AS len
-            FROM (SELECT entity_name, descr FROM merged
-                  WHERE substr(md5(entity_name), 1, 1) IN (@NIB@))
-        ),
-        bedges AS MATERIALIZED (
-            SELECT e.src_id AS src, e.tgt_id AS tgt,
-                   CAST(@ELEN@ AS BIGINT) AS len
-            FROM emerged e
-            JOIN bnodes a ON e.src_id = a.name
-            JOIN bnodes b ON e.tgt_id = b.name
-        ),
+def _bfs_walk_sql(max_units: int, max_tokens: int) -> str:
+    """The BFS greedy-growth replay fragment, parameterized ONLY over
+    the budgets: expects relations ``bnodes(name, len BIGINT)`` and
+    ``bedges(src, tgt, len BIGINT)`` (src < tgt) to be defined by the
+    caller and must follow a ``WITH RECURSIVE`` head.  ONE copy of
+    the walk SQL: the production oracle (md5-bucket-induced KG
+    subgraph) and the differential fuzz test (synthetic random
+    graphs vs ``_greedy_partition_pdf``) both consume this text, so
+    the fuzz exercises exactly the shipped replay."""
+    body = """
         touched AS MATERIALIZED (
             SELECT DISTINCT src AS name FROM bedges
             UNION SELECT DISTINCT tgt FROM bedges
@@ -948,15 +926,55 @@ def _kg_communities_bfs_exact_oracle() -> str:
         FROM bnodes WHERE name NOT IN (SELECT name FROM touched)
         ORDER BY community_id, nodes_str
     """
-    walk = (
-        walk
+    return (
+        body
+        .replace("@MU@", str(max_units))
+        .replace("@MT@", str(max_tokens))
+    )
+
+
+def _kg_communities_bfs_exact_oracle() -> str:
+    """Recursive-CTE replay of the seeded BFS greedy growth over the
+    md5-bucket-induced KG subgraph.  The CTE is deliberately ORDER-
+    INDEPENDENT: DuckDB's parallel list() aggregation does not
+    guarantee element order, and positional reads of >2048-element
+    lists proved unreliable under threads>1 — so the walk never
+    trusts list order.  The next seed is picked by a min-by-skey
+    ``list_reduce`` over the unordered remaining-unit set, and
+    expansion candidate lists are ``list_sort``-ed at use (skey is
+    the first struct field, so struct natural order == skey order);
+    isolated bucket nodes — always singleton communities at
+    min_units=1, unreachable by any growth — are emitted by a plain
+    anti-join around the walk, which keeps the sequential replay to
+    the ~280 edge-touched units."""
+    _, length = _gate_sql("descr")
+    ctes = _kg_node_merged_ctes(edges=True).replace(
+        "WITH pages", "WITH RECURSIVE pages", 1
+    )
+    nibbles = ",".join(f"'{n}'" for n in _BFS_EXACT_NIBBLES)
+    bucket = """,
+        bnodes AS MATERIALIZED (
+            SELECT entity_name AS name, CAST(@LEN@ AS BIGINT) AS len
+            FROM (SELECT entity_name, descr FROM merged
+                  WHERE substr(md5(entity_name), 1, 1) IN (@NIB@))
+        ),
+        bedges AS MATERIALIZED (
+            SELECT e.src_id AS src, e.tgt_id AS tgt,
+                   CAST(@ELEN@ AS BIGINT) AS len
+            FROM emerged e
+            JOIN bnodes a ON e.src_id = a.name
+            JOIN bnodes b ON e.tgt_id = b.name
+        ),
+    """
+    bucket = (
+        bucket
         .replace("@LEN@", length)
         .replace("@ELEN@", length.replace("descr", "e.descr"))
         .replace("@NIB@", nibbles)
-        .replace("@MU@", str(_BFS_EXACT_MAX_UNITS))
-        .replace("@MT@", str(_BFS_EXACT_MAX_TOKENS))
     )
-    return ctes + walk
+    return ctes + bucket + _bfs_walk_sql(
+        _BFS_EXACT_MAX_UNITS, _BFS_EXACT_MAX_TOKENS
+    )
 
 
 def _q_kg_qa_multi_answer_star(
