@@ -443,7 +443,10 @@ def star_partition(
         .where(F.col("_rn") <= max_objects)
         .drop("_rn")
     )
-    n_hubs = star.agg(
+    # from edges, not star: the cap keeps >=1 row per hub, so the
+    # distinct-hub count is identical — and aggregating the capped
+    # frame would re-run the per-hub window shuffle a second time
+    n_hubs = edges.agg(
         F.countDistinct("src_id").alias("_n_hubs")
     )
     bucketed = star.crossJoin(F.broadcast(n_hubs)).withColumn(
@@ -718,12 +721,19 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     n_buckets = F.ceil(
         F.count(F.lit(1)).over(w) / F.lit(component_unit_gate)
     )
+    # ONE materialization of the CC-join + window-count pipeline: the
+    # gated branch probes it with isEmpty() at call time and the
+    # ungated branch consumes it later — uncheckpointed, the whole
+    # units pipeline ran twice in the common nothing-gated case.
+    # localCheckpoint (not persist): blocks are freed by ContextCleaner
+    # once the returned frame is dropped, instead of pinning the cache
+    # for the session.
     bucketed = units.withColumn("_nb", n_buckets).withColumn(
         "_bucket",
         F.when(F.col("_nb") <= 1, F.lit(0)).otherwise(
             F.pmod(F.xxhash64("a"), F.col("_nb"))
         ),
-    )
+    ).localCheckpoint(eager=True)
     ungated = (
         bucketed.where(F.col("_nb") <= 1)
         .groupBy("component", "_bucket")
@@ -989,7 +999,10 @@ def _gated_leiden_rows(
     from pyspark.sql import Window
 
     tag = "leiden" if have_leiden else "louvain"
-    gunits = gunits.persist()
+    # gunits is a filter over the caller's checkpointed bucketed
+    # frame, so the probe and every downstream consumer read cached
+    # blocks — no persist needed here (a session-lifetime persist
+    # leaked one gated-units frame per call)
     if gunits.isEmpty():
         # common case below web scale: nothing gated — skip the
         # coarsening loop's per-level count actions entirely
@@ -1059,10 +1072,13 @@ def _gated_leiden_rows(
     wcomm = Window.partitionBy("component", "coarse").orderBy(
         "entity_name"
     )
+    # localCheckpoint (not persist): two consumers below, and the
+    # blocks must be reclaimable when the result frame is dropped —
+    # a bare persist pinned this membership for the session lifetime
     node_chunk = mem.withColumn(
         "k",
         ((F.row_number().over(wcomm) - 1) / max_size).cast("int"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     node_rows = node_chunk.groupBy("component", "coarse", "k").agg(
         F.sort_array(F.collect_list("entity_name")).alias("nodes")
     )
