@@ -740,15 +740,26 @@ def _q_kg_communities_bfs_exact(
     ).orderBy("community_id", "nodes_str")
 
 
-def _bfs_walk_sql(max_units: int, max_tokens: int) -> str:
-    """The BFS greedy-growth replay fragment, parameterized ONLY over
-    the budgets: expects relations ``bnodes(name, len BIGINT)`` and
-    ``bedges(src, tgt, len BIGINT)`` (src < tgt) to be defined by the
-    caller and must follow a ``WITH RECURSIVE`` head.  ONE copy of
-    the walk SQL: the production oracle (md5-bucket-induced KG
-    subgraph) and the differential fuzz test (synthetic random
-    graphs vs ``_greedy_partition_pdf``) both consume this text, so
-    the fuzz exercises exactly the shipped replay."""
+def _bfs_walk_sql(
+    max_units: int, max_tokens: int, strategy: str = "bfs"
+) -> str:
+    """The greedy-growth replay fragment, parameterized over the
+    budgets and the frontier discipline: expects relations
+    ``bnodes(name, len BIGINT)`` and ``bedges(src, tgt, len BIGINT)``
+    (src < tgt) to be defined by the caller and must follow a
+    ``WITH RECURSIVE`` head.  ONE copy of the walk SQL: the
+    production oracle (md5-bucket-induced KG subgraph) and the
+    differential fuzz test (synthetic random graphs vs
+    ``_greedy_partition_pdf``) both consume this text, so the fuzz
+    exercises exactly the shipped replay.
+
+    ``strategy``: 'bfs' pops the frontier HEAD (queue), 'dfs' the
+    TAIL (stack) — the only difference between the two kernels
+    (partitioners.py: ``frontier.pop(0)`` vs ``frontier.pop()``).
+    The frontier list is recursion-built (never a parallel
+    aggregate) and budget-bounded, so positional reads of it are
+    safe — unlike ``rem``, which stays strictly order-independent."""
+    assert strategy in ("bfs", "dfs")
     body = """
         touched AS MATERIALIZED (
             SELECT DISTINCT src AS name FROM bedges
@@ -813,7 +824,7 @@ def _bfs_walk_sql(max_units: int, max_tokens: int) -> str:
                                  list_contains(st.acc_us, r.u))
                         ELSE list_filter(w.rem, r -> r.u != nxt.u)
                         END,
-                   CASE WHEN growing THEN w.frontier[2:] || st.acc_us
+                   CASE WHEN growing THEN @FREST@ || st.acc_us
                         WHEN nxt.u IS NOT NULL THEN [nxt.u]
                         ELSE CAST([] AS VARCHAR[]) END,
                    CASE WHEN growing
@@ -869,7 +880,7 @@ def _bfs_walk_sql(max_units: int, max_tokens: int) -> str:
                            SELECT COALESCE(any_value(x.cands),
                                CAST([] AS STRUCT(skey VARCHAR,
                                    u VARCHAR, len BIGINT)[]))
-                           FROM expand x WHERE x.u = w.frontier[1]
+                           FROM expand x WHERE x.u = @FPOP@
                        )) ELSE CAST([] AS STRUCT(skey VARCHAR,
                                    u VARCHAR, len BIGINT)[])
                        END AS raw
@@ -926,10 +937,17 @@ def _bfs_walk_sql(max_units: int, max_tokens: int) -> str:
         FROM bnodes WHERE name NOT IN (SELECT name FROM touched)
         ORDER BY community_id, nodes_str
     """
+    if strategy == "bfs":
+        fpop, frest = "w.frontier[1]", "w.frontier[2:]"
+    else:
+        fpop = "w.frontier[len(w.frontier)]"
+        frest = "w.frontier[1:len(w.frontier) - 1]"
     return (
         body
         .replace("@MU@", str(max_units))
         .replace("@MT@", str(max_tokens))
+        .replace("@FPOP@", fpop)
+        .replace("@FREST@", frest)
     )
 
 

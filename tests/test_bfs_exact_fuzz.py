@@ -49,14 +49,16 @@ def _case(seed: int, n: int, extra: int):
     return names, pairs, nlen, elen
 
 
-def _python_rows(names, pairs, nlen, elen, mu, mt):
+def _python_rows(names, pairs, nlen, elen, mu, mt, strategy="bfs"):
     pdf = pd.DataFrame(
         [{"kind": "n", "a": m, "b": None, "length": nlen[m],
           "loss": None} for m in names]
         + [{"kind": "e", "a": a, "b": b, "length": elen[(a, b)],
             "loss": None} for a, b in pairs]
     )
-    rows = _greedy_partition_pdf(pdf, "bfs", mu, 1, mt, "min_loss", None)
+    rows = _greedy_partition_pdf(
+        pdf, strategy, mu, 1, mt, "min_loss", None
+    )
     return sorted(
         (cid, ",".join(ns),
          ",".join(f"{e['src']}|{e['dst']}" for e in es), nu, tok)
@@ -64,7 +66,8 @@ def _python_rows(names, pairs, nlen, elen, mu, mt):
     )
 
 
-def _duckdb_rows(names, pairs, nlen, elen, mu, mt, threads=8):
+def _duckdb_rows(names, pairs, nlen, elen, mu, mt, threads=8,
+                 strategy="bfs"):
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={threads}")
     con.register(
@@ -87,7 +90,7 @@ def _duckdb_rows(names, pairs, nlen, elen, mu, mt, threads=8):
         " FROM t_nodes), "
         "bedges AS MATERIALIZED (SELECT src, tgt,"
         " CAST(len AS BIGINT) AS len FROM t_edges),"
-        + _bfs_walk_sql(mu, mt)
+        + _bfs_walk_sql(mu, mt, strategy)
     )
     return sorted(tuple(r) for r in con.execute(sql).fetchall())
 
@@ -110,6 +113,17 @@ def test_walk_matches_kernel(seed, n, extra, mu, mt):
     names, pairs, nlen, elen = _case(seed, n, extra)
     py = _python_rows(names, pairs, nlen, elen, mu, mt)
     db = _duckdb_rows(names, pairs, nlen, elen, mu, mt)
+    assert db == py
+
+
+@pytest.mark.parametrize("seed,n,extra,mu,mt", CASES[:4])
+def test_walk_matches_kernel_dfs(seed, n, extra, mu, mt):
+    """Same walk fragment with the stack (tail-pop) frontier — the
+    only delta between the BFS and DFS kernels."""
+    names, pairs, nlen, elen = _case(seed, n, extra)
+    py = _python_rows(names, pairs, nlen, elen, mu, mt, "dfs")
+    db = _duckdb_rows(names, pairs, nlen, elen, mu, mt,
+                      strategy="dfs")
     assert db == py
 
 
