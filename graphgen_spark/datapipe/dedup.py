@@ -869,39 +869,74 @@ def embedding_neardup_pairs(
     the pair collides in ANY of ``n_tables`` independent plane sets —
     OR-amplification recovers the recall a single table loses when one
     plane happens to split a near-identical pair), then exact cosine
-    verification via native array expressions (zip_with/aggregate)."""
+    verification via native array expressions (zip_with/aggregate).
+
+    r7 shape: the bucket self-join and the pair dedup operate on IDS
+    ONLY (guide §2.3 "shuffle keys and metadata instead of payloads" /
+    §8) — the old plan carried both 64-dim vectors through the join
+    AND through a dropDuplicates that planned as two SortAggregates
+    with first(array) exchanges.  Vectors are re-attached to the
+    deduped pairs with two broadcast joins against the (small)
+    id -> vector side, with each vector's norm computed once; the
+    cosine arithmetic (dot / (na * nb)) is unchanged, so the output is
+    bit-identical."""
     from graphgen_spark.datapipe.similarity import (
-        cosine_expr,
+        cosine_from_norms,
         hyperplane_bucket,
+        norm_expr,
     )
 
-    table_structs = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            hyperplane_bucket(
-                F.col(vec_col), n_planes, seed + 1000 * t
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    bucketed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(F.array(*table_structs)).alias("tb"),
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"),
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    bucketed = base.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_bucket(
+                        F.col("v"), n_planes, seed + 1000 * t
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"),
              F.col("tb.bucket").alias("bucket"))
     bucketed = _persist(bucketed)  # both sides of the bucket self-join
-    left = bucketed.select(
-        F.col("id").alias("a"), F.col("v").alias("va"), "tbl", "bucket"
-    )
-    right = bucketed.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), "tbl", "bucket"
-    )
+    left = bucketed.select(F.col("id").alias("a"), "tbl", "bucket")
+    right = bucketed.select(F.col("id").alias("b"), "tbl", "bucket")
     candidates = (
         left.join(right, ["tbl", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .distinct()
     )
-    return candidates.select(
-        "a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    vecs = base.select(
+        "id", "v", norm_expr(F.col("v")).alias("n")
+    )
+    return (
+        candidates
+        .join(
+            F.broadcast(vecs.select(
+                F.col("id").alias("a"), F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            )),
+            "a",
+        )
+        .join(
+            F.broadcast(vecs.select(
+                F.col("id").alias("b"), F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            )),
+            "b",
+        )
+        .select(
+            "a", "b",
+            cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

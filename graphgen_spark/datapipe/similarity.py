@@ -18,26 +18,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Native cosine similarity over two array columns (stays in
-    codegen: zip_with + aggregate, no UDF)."""
-    dot = F.aggregate(
+def dot_expr(a: Column, b: Column) -> Column:
+    """Native dot product over two array columns (codegen'd zip_with +
+    aggregate left fold, no UDF)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def norm_expr(a: Column) -> Column:
+    """Euclidean norm of an array column — the exact left-fold sum of
+    squares ``cosine_expr`` uses, factored out so callers can compute
+    it ONCE per row instead of once per scored pair (r7: the norm is
+    2/3 of every pairwise cosine's flops; precomputing it per side is
+    float-identical because the fold order and the final
+    dot/(na*nb) arithmetic are unchanged)."""
+    return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    return dot / (na * nb)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Native cosine similarity over two array columns (stays in
+    codegen: zip_with + aggregate, no UDF)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_from_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """cosine_expr with the two norms supplied as (precomputed)
+    columns — identical IEEE arithmetic: dot / (na * nb)."""
+    return dot_expr(a, b) / (na * nb)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
+
+
+def _vec_sql(vals) -> str:
+    """SQL text for an array<double> literal.  repr() is the shortest
+    round-trip form, and Java's Double.parseDouble of that form yields
+    the identical IEEE-754 value — so the parsed literal is
+    bit-identical to what ``F.lit`` element-wise would build."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _matrix_lit(rows) -> Column:
+    """array<array<double>> literal built as ONE parsed SQL expression.
+    ``F.lit(nested_list)`` recurses into one py4j round trip per
+    element (a 16x64 matrix = 1000+ driver calls, ~0.5-1 s of pure
+    plan-construction latency per query build — measured r7); a single
+    ``F.expr`` string hands the whole literal to the JVM parser in one
+    call."""
+    return F.expr(
+        "array(" + ",".join(_vec_sql(r) for r in rows) + ")"
+    )
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42,
@@ -50,7 +89,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42,
     # higher-order lambda conversions (driver-side construction cost,
     # same pathology as the IVF cell loop).  Bit packing: sign(dot_i)
     # contributes 2^i, summed exactly as the loop formulation did.
-    pmat = F.lit([[float(x) for x in p] for p in planes])
+    pmat = _matrix_lit(planes)
     dots = F.transform(
         pmat,
         lambda p, i: F.when(
@@ -80,17 +119,24 @@ def brute_force_topk(
     through executors once; cost is |Q| dot products per corpus row."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm_expr(F.col(vec_col)).alias("qn"),
         )
     )
+    # per-side norms computed once (r7): |Q| x |C| pairs each paid 3
+    # aggregate folds; now each row pays its norm once and each pair
+    # one dot — same dot/(na*nb) arithmetic, float-identical
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
     )
     scored = q.crossJoin(c).where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id", "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -107,23 +153,41 @@ def lsh_topk(
     n_planes: int = 8, seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored."""
+    # the join keys are wrapped in coalesce(key, side-sentinel) to make
+    # them provably non-nullable: otherwise the planner infers an
+    # IsNotNull(bucket) filter on the corpus side and — because the
+    # bucket is a derived expression, not a stored column — evaluates
+    # the whole n_planes-dot bucket computation TWICE per row (once in
+    # the inferred filter, once in the project; the §4.4 filter-
+    # duplication pathology, measured 2x the corpus-side stage).  The
+    # sentinels differ per side, so a NULL vector still matches
+    # nothing — exactly the inner-join-on-NULL behavior of the old
+    # plan.
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        F.coalesce(
+            hyperplane_bucket(F.col(vec_col), n_planes, seed),
+            F.lit(-1).cast("long"),
+        ).alias("bucket"),
     )
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            hyperplane_bucket(F.col(vec_col), n_planes, seed).alias(
-                "bucket"
-            ),
+            norm_expr(F.col(vec_col)).alias("qn"),
+            F.coalesce(
+                hyperplane_bucket(F.col(vec_col), n_planes, seed),
+                F.lit(-2).cast("long"),
+            ).alias("bucket"),
         )
     )
     scored = qb.join(cb, "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id", "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -290,45 +354,93 @@ def ivf_topk(
     # 1.7 s of driver-side expression construction per call at
     # n_cells=16.  Sort semantics unchanged: struct(sim, cell) default
     # ordering reversed = sim DESC, cell DESC.
-    cmat = F.lit([[float(x) for x in row] for row in cents])
+    #
+    # r7: per-row norm computed ONCE and each centroid's norm folded
+    # in as a literal (the exact sqrt-of-left-fold value the SQL
+    # aggregate produces — verified bit-identical), so a cell score is
+    # one dot + one divide instead of three aggregate folds; the
+    # corpus-side argmax is array_max (same struct ordering as
+    # reverse(array_sort)[0]: max (sim, cell) == sim DESC, cell DESC
+    # tie-break) instead of a full 16-element sort per row.
+    def _fold_norm(row) -> float:
+        acc = 0.0
+        for v in row:
+            acc = acc + float(v) * float(v)
+        import math
 
-    def cell_scores(vec: Column) -> Column:
-        return F.reverse(
-            F.array_sort(
-                F.transform(
-                    cmat,
-                    lambda c, i: F.struct(
-                        cosine_expr(vec, c).alias("sim"),
-                        i.cast("int").alias("cell"),
-                    ),
-                )
+        return math.sqrt(acc)
+
+    # one parsed SQL literal for the whole centroid table (see
+    # _matrix_lit: element-wise F.lit cost ~1 s of py4j round trips
+    # per query build at n_cells=16)
+    cell_lits = F.expr(
+        "array(" + ",".join(
+            "named_struct('c', {}, 'cn', {!r}D, 'cell', {})".format(
+                _vec_sql(cents[i]), float(_fold_norm(cents[i])), i
             )
+            for i in range(n_cells)
+        ) + ")"
+    )
+
+    def cell_scores(vec: Column, vn: Column) -> Column:
+        return F.transform(
+            cell_lits,
+            lambda s: F.struct(
+                (dot_expr(vec, s["c"]) / (vn * s["cn"])).alias("sim"),
+                s["cell"].alias("cell"),
+            ),
         )
 
+    # coalesce(cell, -1) makes the join key non-nullable so the planner
+    # does not infer an IsNotNull(cell) filter that would re-evaluate
+    # the whole 16-dot cell expression a second time per corpus row
+    # (guide §4.4 duplication; measured ~2x this stage).  A NULL
+    # vector's cell becomes -1, which no query probe (always a literal
+    # cell id) can match — identical inner-join semantics.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        cell_scores(F.col(vec_col))[0]["cell"].alias("cell"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    ).select(
+        "neighbor_id", "cv", "cn",
+        F.coalesce(
+            F.array_max(
+                cell_scores(F.col("cv"), F.col("cn"))
+            )["cell"],
+            F.lit(-1),
+        ).alias("cell"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm_expr(F.col(vec_col)).alias("qn"),
+        ).select(
+            "query_id", "qv", "qn",
             F.explode(
-                F.slice(cell_scores(F.col(vec_col)), 1, nprobe)
+                F.slice(
+                    F.reverse(F.array_sort(
+                        cell_scores(F.col("qv"), F.col("qn"))
+                    )),
+                    1, nprobe,
+                )
             ).alias("probe"),
-        ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        ).select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
     )
+    # every corpus row lives in exactly one cell and a query's nprobe
+    # probes are distinct cells, so a (query, neighbor) pair matches
+    # at most once — the old groupBy/max dedup aggregate was a no-op
+    # shuffle and is dropped (r7; output rows identical)
     scored = q.join(c, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id", "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.groupBy("query_id", "neighbor_id")
-        .agg(F.max("cosine").alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
