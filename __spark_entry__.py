@@ -2131,10 +2131,20 @@ def _q_supplier_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphgen_spark.operators.stats import degree_table
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    edges = li.select(
-        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src_id"),
-        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("tgt_id"),
-    ).distinct()
+    # r7: dedupe on the raw integer keys FIRST, then build the string
+    # node ids — the distinct's shuffle carries 16 bytes/row instead
+    # of two ~10-char strings (guide §2.3 "narrower types"), and the
+    # concat runs on ~unique pairs, not all 6M lineitems.  The p:/s:
+    # prefixed concat is injective, so the edge set (and every degree)
+    # is identical.
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src_id"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("tgt_id"),
+        )
+    )
     deg = degree_table(edges)
     return (
         deg.groupBy("degree")

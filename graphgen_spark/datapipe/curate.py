@@ -76,31 +76,47 @@ def curate_corpus(
         .alias("row_fail"),
     )
 
-    passing = tagged.where(F.col("row_fail").isNull())
-    w_dup = Window.partitionBy("text_hash").orderBy("doc_id")
-    deduped = passing.withColumn(
+    # ONE pass over the corpus for BOTH outputs (r7): the old funnel
+    # unioned (tagged WHERE failed) with (windowed passing rows) —
+    # two full scans of the documents table, each paying the
+    # tokenize/array_distinct projection.  Instead the windows run
+    # over ALL rows with ``row_fail`` prepended to every partition
+    # key: passing rows (row_fail NULL) land in exactly the partitions
+    # they had before, in the same order, so their dup_rank /
+    # sample_rank are unchanged; failing rows rank only against other
+    # failing rows and their ranks are never read.  The extra window
+    # shuffle volume is the failing rows — narrow ints/strings —
+    # while a whole tokenize scan disappears from the funnel plan.
+    w_dup = Window.partitionBy("row_fail", "text_hash").orderBy(
+        "doc_id"
+    )
+    deduped = tagged.withColumn(
         "dup_rank", F.row_number().over(w_dup)
     )
     # partition by the keep-flag too: duplicates must not consume
     # sample ranks (row_number counts every partition row, even ones
     # later masked by the WHEN)
     w_sample = Window.partitionBy(
-        "lang", (F.col("dup_rank") == 1)
+        "row_fail", "lang", (F.col("dup_rank") == 1)
     ).orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     staged = deduped.withColumn(
         "sample_rank",
         F.when(
-            F.col("dup_rank") == 1, F.row_number().over(w_sample)
+            F.col("row_fail").isNull() & (F.col("dup_rank") == 1),
+            F.row_number().over(w_sample),
         ),
     ).withColumn(
         "stage",
-        F.when(F.col("dup_rank") > 1, F.lit("duplicate"))
-        .when(
-            F.lit(sample_k is not None)
-            & (F.col("sample_rank") > F.lit(sample_k or 0)),
-            F.lit("sampled_out"),
-        )
-        .otherwise(F.lit("kept")),
+        F.coalesce(
+            F.col("row_fail"),
+            F.when(F.col("dup_rank") > 1, F.lit("duplicate"))
+            .when(
+                F.lit(sample_k is not None)
+                & (F.col("sample_rank") > F.lit(sample_k or 0)),
+                F.lit("sampled_out"),
+            )
+            .otherwise(F.lit("kept")),
+        ),
     )
 
     curated = staged.where(F.col("stage") == "kept").select(
@@ -113,10 +129,7 @@ def curate_corpus(
         F.array(*[F.lit(s) for s in order]), F.col("stage")
     ).cast("int")
     funnel = (
-        tagged.where(F.col("row_fail").isNotNull())
-        .select(F.col("row_fail").alias("stage"))
-        .unionByName(staged.select("stage"))
-        .groupBy("stage")
+        staged.groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("stage_idx", stage_idx)
         .select("stage_idx", "stage", "n_docs")

@@ -678,7 +678,23 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """(a, b, hamming): banded SimHash blocking (pigeonhole: any pair
     within Hamming distance < bands shares at least one exact band),
-    then exact Hamming verification via bit_count(xor)."""
+    then exact Hamming verification.
+
+    r7 kernel: the JVM band self-join materialized every in-bucket
+    candidate pair as a join output row before the Hamming filter —
+    19M rows / ~5 s at 50k docs, because real corpora concentrate
+    band values (majority votes correlate across docs) into hot
+    buckets whose C(m,2) terms dominate.  The filter keeps ~nothing,
+    so the pair stream is pure overhead.  Instead the banded table is
+    repartitioned+sorted by (band, key) and a ``mapInPandas`` kernel
+    scores each bucket with a vectorized XOR + popcount-LUT block
+    sweep, emitting ONLY pairs with hamming <= max_hamming — the
+    19M-row stream never exists as engine rows.  Filter-before-
+    distinct is equivalent to the old distinct-before-filter (the
+    filter is deterministic per row), so output is bit-identical.
+    Per-task memory is one shuffle partition of narrow
+    (doc_id, sig, band, key) rows plus a bounded 512-row comparison
+    block."""
     sigs = _persist(simhash_signatures(docs, text_col, id_col))
     # scanned by both sides of the band self-join
     width = 64 // bands
@@ -695,26 +711,85 @@ def simhash_dup_pairs(
         "doc_id", "simhash",
         F.explode(F.array(*band_structs)).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    left = banded.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"),
-        "band", "key",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"),
-        "band", "key",
-    )
-    return (
-        left.join(right, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select(
-            "a", "b",
-            F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-            ).alias("hamming"),
+
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    arranged = banded.repartition(
+        n_part, "band", "key"
+    ).sortWithinPartitions("band", "key")
+
+    out_schema = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("hamming", T.IntegerType(), False),
+    ])
+    max_h = int(max_hamming)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate the (narrow) partition so buckets split across
+        # Arrow batches stay whole; rows arrive sorted by (band, key)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            yield pd.DataFrame(
+                {"a": pd.Series(dtype="int64"),
+                 "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int32")}
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        sig = pdf["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        band = pdf["band"].to_numpy()
+        key = pdf["key"].to_numpy()
+        # bucket boundaries in the sorted order
+        change = np.flatnonzero(
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        ) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        lut = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
         )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
-    )
+        out_a, out_b, out_h = [], [], []
+        blk = 512
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            g_ids = ids[s:e]
+            g_sig = sig[s:e]
+            for i0 in range(0, m, blk):
+                i1 = min(i0 + blk, m)
+                x = g_sig[i0:i1, None] ^ g_sig[None, :]
+                h = lut[
+                    np.ascontiguousarray(x).view(np.uint8)
+                    .reshape(i1 - i0, m, 8)
+                ].sum(axis=2, dtype=np.int64)
+                mask = (h <= max_h) & (
+                    g_ids[i0:i1, None] < g_ids[None, :]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(g_ids[i0:i1][ii])
+                    out_b.append(g_ids[jj])
+                    out_h.append(h[ii, jj])
+        if out_a:
+            yield pd.DataFrame({
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h).astype(np.int32),
+            })
+        else:
+            yield pd.DataFrame(
+                {"a": pd.Series(dtype="int64"),
+                 "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int32")}
+            )
+
+    pairs = arranged.mapInPandas(gen, schema=out_schema)
+    # a pair can collide in several bands — dedupe the (tiny) survivor
+    # set; hamming is a pure function of (a, b) so the triple is
+    # distinct exactly when the pair is
+    return pairs.distinct()
 
 
 def simhash_pairs_oracle_sql(

@@ -206,6 +206,84 @@ class TestSimHash:
         assert (0, 2) in got
         assert (0, 3) not in got
 
+    def test_kernel_matches_join_formulation(self, spark):
+        """r7 differential: the vectorized per-bucket Hamming kernel
+        must emit exactly what the old JVM band-self-join + bit_count
+        formulation did, on a corpus with planted near-dups, exact
+        dups, token-flip variants, and band-collision-heavy rows."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from graphgen_spark.datapipe.dedup import simhash_signatures
+
+        rng = random.Random(7)
+        vocab = [f"tok{i}" for i in range(60)]
+        rows = []
+        for d in range(400):
+            toks = [rng.choice(vocab) for _ in range(40)]
+            rows.append((d, " ".join(toks)))
+            if d % 7 == 0:  # near-dup: flip one token
+                var = list(toks)
+                var[rng.randrange(len(var))] = rng.choice(vocab)
+                rows.append((d + 10000, " ".join(var)))
+            if d % 11 == 0:  # exact dup
+                rows.append((d + 20000, " ".join(toks)))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        for max_hamming, bands in [(3, 4), (7, 8), (0, 4)]:
+            new = {
+                (r["a"], r["b"], r["hamming"])
+                for r in simhash_dup_pairs(
+                    docs, max_hamming=max_hamming, bands=bands
+                ).collect()
+            }
+            # old formulation, inline (band self-join + bit_count)
+            sigs = simhash_signatures(docs)
+            width = 64 // bands
+            band_structs = [
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ]
+            banded = sigs.select(
+                "doc_id", "simhash",
+                F.explode(F.array(*band_structs)).alias("bb"),
+            ).select("doc_id", "simhash", "bb.band", "bb.key")
+            left = banded.select(
+                F.col("doc_id").alias("a"),
+                F.col("simhash").alias("sig_a"), "band", "key",
+            )
+            right = banded.select(
+                F.col("doc_id").alias("b"),
+                F.col("simhash").alias("sig_b"), "band", "key",
+            )
+            old = {
+                (r["a"], r["b"], r["hamming"])
+                for r in (
+                    left.join(right, ["band", "key"])
+                    .where(F.col("a") < F.col("b"))
+                    .select(
+                        "a", "b",
+                        F.bit_count(
+                            F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+                        ).alias("hamming"),
+                    )
+                    .distinct()
+                    .where(F.col("hamming") <= max_hamming)
+                ).collect()
+            }
+            assert new == old, (
+                f"kernel/join divergence at max_hamming={max_hamming} "
+                f"bands={bands}: only_new={sorted(new - old)[:5]} "
+                f"only_old={sorted(old - new)[:5]}"
+            )
+            assert new, f"vacuous differential at bands={bands}"
+
 
 class TestEmbeddingOps:
     @pytest.fixture(scope="class")
