@@ -89,13 +89,55 @@ def _gram_array(text_col: str, n: int):
     )
 
 
+def _gram_sets_df(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, hs array<string>): each doc's DISTINCT non-empty word
+    n-gram shingles, first-occurrence order — the vectorized Python
+    twin of ``_gram_array``.
+
+    r7: the SQL formulation (split + sequence + per-index slice +
+    concat_ws + array_distinct) costs ~50 ms/doc of interpreted
+    higher-order-function evaluation on 600-token docs — it was the
+    dominant cold cost of BOTH shingle consumers (ngram postings 29 s,
+    minhash verification doc-set build 46 s at 50k docs).  The same
+    gram construction in plain Python is ~100x faster; it reuses the
+    EXACT tokenizer of ``minhash_signatures``'s gram builder
+    (``str.split()``), whose parity with the SQL ``split(trim(text),
+    '\\s+')`` on ASCII-whitespace corpora is the already-documented
+    assumption behind every minhash/ngram oracle.  A differential
+    test pins kernel == _gram_array per doc."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("hs", T.ArrayType(T.StringType()), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sets = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text or "").split()
+                grams = dict.fromkeys(
+                    " ".join(toks[i: i + n])
+                    for i in range(max(len(toks) - n, 0) + 1)
+                )
+                grams.pop("", None)
+                ids.append(int(did))
+                sets.append(list(grams))
+            yield pd.DataFrame({"doc_id": ids, "hs": sets})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def shingles(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc — pure Spark SQL (split +
-    sequence + transform), no Python."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_gram_array(text_col, n)).alias("shingle"),
+    """Distinct word n-gram shingles per doc, exploded to postings —
+    gram construction in the vectorized Python kernel (see
+    ``_gram_sets_df``), explode in the JVM."""
+    return _gram_sets_df(docs, text_col, id_col, n).select(
+        "doc_id", F.explode("hs").alias("shingle")
     )
 
 
@@ -305,6 +347,10 @@ def lsh_candidate_pairs(
         )
         banded = banded.join(hot, ["band", "bucket"], "left_anti")
 
+    # both sides of the self-join scan the banded table — without
+    # this persist each side re-ran the 16-band slice/hash transform
+    # over the cached signatures (r7)
+    banded = _persist(banded)
     left = banded.select(
         F.col("doc_id").alias("a"), "band", "bucket"
     )
@@ -372,9 +418,10 @@ def minhash_verified_pairs(
         .distinct()
     )
     doc_sets = _persist(
-        docs.join(cand_docs, id_col, "left_semi")
-        .select(F.col(id_col).alias("doc_id"),
-                _gram_array(text_col, n).alias("hs"))
+        _gram_sets_df(
+            docs.join(cand_docs, id_col, "left_semi"),
+            text_col, id_col, n,
+        )
         .withColumn("sz", F.size("hs"))
         # parity with the postings formulation: a zero-shingle doc had
         # no postings row, so its pairs never reached the output
@@ -562,10 +609,16 @@ def minhash_lsh_dedup(
     round 5); default ``None`` keeps the oracle-checked behavior.
 
     Returns (doc_id, group_id, keep)."""
-    verified = minhash_verified_pairs(
+    # the verified pair table feeds the CC wrapper's vertex set, edge
+    # list and gate count — persist it (r7) so the fixpoint/fast-path
+    # actions read one cached droplet instead of re-running the
+    # candidates x doc_sets scoring join per action (and repeated
+    # dedup calls in one session reuse it via the plan cache, exactly
+    # like the signature/bucket intermediates above)
+    verified = _persist(minhash_verified_pairs(
         docs, text_col, id_col, n, num_perm, bands, threshold, seed,
         bucket_cap=bucket_cap,
-    )
+    ))
 
     # group verified pairs into components; keep = NUMERIC min doc_id.
     # connected_components labels by lexicographic-min string name, so
@@ -575,7 +628,8 @@ def minhash_lsh_dedup(
         verified.select(
             F.col("a").cast("string").alias("src_id"),
             F.col("b").cast("string").alias("tgt_id"),
-        )
+        ),
+        assume_materialized=True,
     )
     members = labels.select(
         F.col("name").cast("long").alias("doc_id"),

@@ -44,21 +44,48 @@ _REL_EN_RE = re.compile(
 _REL_ZH_RE = re.compile(
     rf"({_ALIAS_PAT})({_VERBS_ZH_ALT})({_ALIAS_PAT})。"
 )
+# hot-loop split/search patterns precompiled once (the generic
+# split_multi_markers re-derived its pattern per call — ~75k calls per
+# 3k pages in the fused kernel profile)
+_RECORD_SPLIT_RE = re.compile(
+    re.escape(RECORD_DELIM) + "|" + re.escape(COMPLETION_DELIM)
+)
+_TUPLE_SPLIT_RE = re.compile(re.escape(TUPLE_DELIM))
+_PAREN_RE = re.compile(r"\((.*)\)")
 
 
 def find_relation_sentences(content: str) -> List[Tuple[str, str, str, str]]:
     """(src_alias, verb, tgt_alias, sentence) for every relation-grammar
     sentence in the chunk, in document order."""
     out = []
-    for regex, zh in ((_REL_EN_RE, False), (_REL_ZH_RE, True)):
+    for regex, sentinel in ((_REL_EN_RE, "."), (_REL_ZH_RE, "。")):
+        # every match of either grammar ends in its terminator — a
+        # C-speed substring check skips the (expensive) full regex
+        # scan on chunks that cannot match, which for the ZH grammar
+        # is every pure-English chunk (r7; same matches, same order)
+        if sentinel not in content:
+            continue
         for m in regex.finditer(content):
             src, verb, tgt = m.group(1), m.group(2), m.group(3)
             out.append((src, verb, tgt, m.group(0)))
     return out
 
 
+_ETYPE_CACHE: Dict[str, str] = {}
+
+
 def mock_entity_type(alias: str) -> str:
-    return _choice(ENTITY_TYPES, "atype", alias)
+    # pure function of the alias — memoized per worker process (the
+    # same alias recurs across chunks; md5-based _choice dominated the
+    # mock responder's profile).  Bounded: the synthetic alias
+    # vocabulary is small; cleared at 1M entries as a safety valve.
+    t = _ETYPE_CACHE.get(alias)
+    if t is None:
+        if len(_ETYPE_CACHE) > 1_000_000:
+            _ETYPE_CACHE.clear()
+        t = _choice(ENTITY_TYPES, "atype", alias)
+        _ETYPE_CACHE[alias] = t
+    return t
 
 
 def mock_llm_response(content: str) -> str:
@@ -239,12 +266,15 @@ def parse_extraction_response(
     entities: List[Dict] = []
     relations: List[Dict] = []
     for record in split_multi_markers(
-        response, [RECORD_DELIM, COMPLETION_DELIM]
+        response, [RECORD_DELIM, COMPLETION_DELIM],
+        _split_re=_RECORD_SPLIT_RE,
     ):
-        m = re.search(r"\((.*)\)", record)
+        m = _PAREN_RE.search(record)
         if not m:
             continue
-        attrs = split_multi_markers(m.group(1), [TUPLE_DELIM])
+        attrs = split_multi_markers(
+            m.group(1), [TUPLE_DELIM], _split_re=_TUPLE_SPLIT_RE
+        )
         if len(attrs) >= 4 and attrs[0] == '"entity"':
             name = clean_str(attrs[1].upper())
             if not name.strip():

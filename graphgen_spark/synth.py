@@ -306,14 +306,17 @@ def alias_dictionary_df(spark: SparkSession, n_entities: int) -> DataFrame:
                 columns=["alias_norm", "canonical_id", "canonical_name"],
             )
 
-    # ≥250 entities per partition: a small release dictionary must not
-    # fan out across every core (32 near-empty Python workers cost more
-    # in startup than the synth itself — measured 5.5 s -> 1.8 s at
-    # n=2000 on local[32]); a 10M-entity dictionary still fills the
-    # cluster via the default-parallelism cap.
+    # ≥4000 entities per partition: a small release dictionary must
+    # not fan out across every core — each near-empty Python worker
+    # costs ~0.4 s of startup (pandas import) for ~20 µs/entity of
+    # synth work, so a partition should carry thousands of entities
+    # before another worker pays off (r5 measured 5.5 s -> 1.8 s going
+    # 32 -> 8 partitions at n=2000; r7 re-measured the per-entity cost
+    # and raised the floor accordingly).  A 10M-entity dictionary
+    # still fills the cluster via the default-parallelism cap.
     n_parts = min(
         spark.sparkContext.defaultParallelism,
-        max(1, n_entities // 250),
+        max(1, n_entities // 4000),
     )
     ids = spark.range(0, n_entities, 1, numPartitions=n_parts)
     raw = ids.mapInPandas(gen, schema=ALIAS_SCHEMA)

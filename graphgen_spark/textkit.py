@@ -35,11 +35,21 @@ def clean_str(value) -> str:
     return out.strip('"').strip("'")
 
 
-def split_multi_markers(content: str, markers: list[str]) -> list[str]:
-    """Split on any of several literal markers, strip + drop empties."""
-    if not markers:
-        return [content]
-    parts = re.split("|".join(re.escape(m) for m in markers), content)
+def split_multi_markers(
+    content: str, markers: list[str], _split_re=None
+) -> list[str]:
+    """Split on any of several literal markers, strip + drop empties.
+    ``_split_re``: optional precompiled alternation of the same
+    markers — hot callers (the extraction parser) pass it to skip the
+    per-call escape/join/cache-lookup; semantics unchanged."""
+    if _split_re is not None:
+        parts = _split_re.split(content)
+    else:
+        if not markers:
+            return [content]
+        parts = re.split(
+            "|".join(re.escape(m) for m in markers), content
+        )
     return [p.strip() for p in parts if p.strip()]
 
 

@@ -206,6 +206,44 @@ class TestSimHash:
         assert (0, 2) in got
         assert (0, 3) not in got
 
+    def test_gram_kernel_matches_sql_gram_array(self, spark):
+        """r7 differential: the Python gram-set kernel behind
+        shingles()/minhash verification must produce the same per-doc
+        shingle SET as the SQL _gram_array formulation it replaced —
+        including short docs (< n tokens), empty text, repeated
+        grams, and multi-space runs."""
+        from pyspark.sql import functions as F
+
+        from graphgen_spark.datapipe.dedup import (
+            _gram_array,
+            _gram_sets_df,
+        )
+
+        rows = [
+            (0, "a b c d e f g"),
+            (1, "a b"),                      # shorter than n
+            (2, "x"),                        # single token
+            (3, ""),                         # empty
+            (4, "  spaced   out   tokens "),  # whitespace runs
+            (5, "r r r r r r"),              # repeated grams
+            (6, " ".join(f"t{i % 9}" for i in range(200))),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for n in (1, 2, 3, 5):
+            sql_side = {
+                r["doc_id"]: set(r["hs"])
+                for r in docs.select(
+                    "doc_id", _gram_array("text", n).alias("hs")
+                ).collect()
+            }
+            py_side = {
+                r["doc_id"]: set(r["hs"])
+                for r in _gram_sets_df(
+                    docs, "text", "doc_id", n
+                ).collect()
+            }
+            assert py_side == sql_side, f"gram divergence at n={n}"
+
     def test_kernel_matches_join_formulation(self, spark):
         """r7 differential: the vectorized per-bucket Hamming kernel
         must emit exactly what the old JVM band-self-join + bit_count

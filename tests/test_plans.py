@@ -140,7 +140,14 @@ class TestRelationalPlans:
         p = plan_of(df)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
-        assert "MapInPandas" not in p
+        # r7: gram construction moved from the interpreted SQL
+        # higher-order chain into the vectorized Python kernel
+        # (_gram_sets_df, ~100x per doc) — the gram MapInPandas hop
+        # (shared via the persisted postings table) is the ONLY Python
+        # in the plan; no row-at-a-time UDF nodes, and the join/
+        # anti-join machinery stays JVM-side
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
         assert "LeftAnti" in p
 
     def test_bucket_cap_filter_is_equi_anti_join(self, spark, sf_dir):
