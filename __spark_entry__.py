@@ -1278,8 +1278,16 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r7: rank first, filter, THEN lag.  With row_number alone in the
+    # window, the seq <= 3 filter triggers Spark's WindowGroupLimit
+    # rewrite (per-partition top-k maintained during the sort), so the
+    # full event stream never flows through the window machinery; the
+    # lag runs over the surviving 3 rows/user, whose previous rows are
+    # themselves among the survivors — gap_sec values are identical to
+    # the single-window formulation (prev of seq k<=3 is seq k-1<=3).
     return (
         ev.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 3)
         .withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "gap_sec",
@@ -1288,7 +1296,6 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("prev_ts").cast("timestamp").cast("double")
             ),
         )
-        .where(F.col("seq") <= 3)
         .select("user_id", "event_id", "seq", "gap_sec")
         .orderBy("user_id", "seq")
     )
@@ -2131,18 +2138,20 @@ def _q_supplier_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphgen_spark.operators.stats import degree_table
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # r7: dedupe on the raw integer keys FIRST, then build the string
-    # node ids — the distinct's shuffle carries 16 bytes/row instead
-    # of two ~10-char strings (guide §2.3 "narrower types"), and the
-    # concat runs on ~unique pairs, not all 6M lineitems.  The p:/s:
-    # prefixed concat is injective, so the edge set (and every degree)
-    # is identical.
+    # r7: dedupe on the raw integer keys FIRST (the distinct's shuffle
+    # carries 16 bytes/row instead of two ~10-char strings — guide
+    # §2.3 "narrower types"), and keep the node ids integral all the
+    # way through degree_table: 2k / 2k+1 is injective with disjoint
+    # part/supplier namespaces, exactly like the old "p:"/"s:" string
+    # prefixes, so every per-node degree — and the degree histogram
+    # this query returns — is identical, while the explode+groupBy
+    # runs over 12M longs instead of 12M strings.
     edges = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src_id"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("tgt_id"),
+            (F.col("l_partkey") * 2).alias("src_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("tgt_id"),
         )
     )
     deg = degree_table(edges)

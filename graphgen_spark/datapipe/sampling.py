@@ -52,18 +52,26 @@ def token_budget_take(
     token count reaches the budget.  The doc that CROSSES the budget is
     kept (budgets are lower bounds, matching how corpus specs are
     written: 'at least N tokens per language')."""
+    # r7: token count materialized as a column BELOW the window, so
+    # (a) the budget filter references the attribute instead of
+    # re-evaluating the split expression above the window and (b) the
+    # window shuffle carries a long instead of the full text when the
+    # caller prunes text downstream.  cum/filter arithmetic unchanged.
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     w = Window.partitionBy(stratum_col).orderBy(
         _hash_order(id_col), F.col(id_col)
     )
-    cum = F.sum(n_tokens).over(
+    cum = F.sum(F.col("_n_tokens")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.withColumn("cum_tokens", cum)
+        docs.withColumn("_n_tokens", n_tokens)
+        .withColumn("cum_tokens", cum)
         .where(
-            (F.col("cum_tokens") - n_tokens) < F.lit(budget_tokens)
+            (F.col("cum_tokens") - F.col("_n_tokens"))
+            < F.lit(budget_tokens)
         )
+        .drop("_n_tokens")
     )
 
 

@@ -428,6 +428,14 @@ def star_partition(
       hash of the hub name;
     - one hash shuffle (the groupBy); the window is per-hub, not
       global.
+
+    NOTE (ADVICE r6): ``token_sum`` here sums the CAPPED EDGE lengths
+    only — unlike the greedy partitioners, whose token budgets count
+    node + edge gated lengths.  Star/triple community token sums are
+    therefore not comparable with greedy-family token sums, and node
+    description mass is invisible to downstream batch sizing for this
+    family.  (Changing it would change the hash-checked
+    kg_qa_multi_answer_star oracle; documented instead.)
     """
     from pyspark.sql import Window
 
@@ -676,6 +684,14 @@ def leiden_partition(nodes, edges, max_size=20, resolution=1.0,
     ``models/partitioner/leiden_partitioner.py:16-117``), else the
     deterministic pure-Python Louvain above (same modularity
     objective, same output contract).
+
+    NOT lazy (ADVICE r6): constructing the returned frame eagerly
+    runs the CC-join/window pipeline once (localCheckpoint) and
+    probes the gate — callers that build but never consume the plan
+    still pay that materialization, the accepted trade for not
+    running the whole units pipeline twice in the common
+    nothing-gated case.  localCheckpoint lineage is not recoverable
+    if executors are lost mid-session in cluster mode.
 
     Giant-component gate (same hazard the greedy partitioners gate in
     ``_partition_with``): a web-scale giant component must not land in

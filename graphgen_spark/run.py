@@ -263,6 +263,18 @@ def _resolve_bucket_cap(params) -> int | None:
 
     cap = params.get("bucket_cap", "auto")
     if cap == "auto":
+        # ADVICE r6: the lossy-by-default path must announce itself,
+        # not just the lossless opt-out.  The auto cap trades recall
+        # on >cap-member LSH buckets (degenerate/boilerplate clusters;
+        # exact-duplicate mass is exact_dedup's job) for the measured
+        # 9.8x hot-bucket wall protection.
+        logging.getLogger("graphgen_spark.run").info(
+            "dedup: bucket_cap=auto (%d) — LSH (band,bucket) groups "
+            "holding more than %d docs are dropped before the "
+            "candidate join (recall-lossy for degenerate clusters; "
+            "set bucket_cap: null for the uncapped reference "
+            "semantics).", D.AUTO_BUCKET_CAP, D.AUTO_BUCKET_CAP,
+        )
         return D.AUTO_BUCKET_CAP
     if cap is None:
         logging.getLogger("graphgen_spark.run").warning(
