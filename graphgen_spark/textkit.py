@@ -19,6 +19,13 @@ import html
 import re
 
 _CONTROL_CHARS_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
+# r7: deleting the same char class via str.translate is a single
+# C-level pass (~3x the regex sub on the per-record hot path); the
+# table covers exactly [\x00-\x1f\x7f-\x9f]
+_CONTROL_DELETE = {
+    c: None
+    for c in list(range(0x00, 0x20)) + list(range(0x7F, 0xA0))
+}
 # word-ish tokens: runs of letters/digits (incl. CJK, each CJK char its
 # own token like BPE roughly does) or single non-space punctuation.
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[一-鿿]|[^\sA-Za-z0-9_一-鿿]")
@@ -31,7 +38,7 @@ def clean_str(value) -> str:
     if not isinstance(value, str):
         return value
     out = html.unescape(value.strip())
-    out = _CONTROL_CHARS_RE.sub("", out)
+    out = out.translate(_CONTROL_DELETE)
     return out.strip('"').strip("'")
 
 
