@@ -1824,6 +1824,13 @@ def _q_multi_choice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter of the position-3 token (multi_choice_generator.py shape)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # r7 note: tried an explode(array(struct(...))) pushdown barrier
+    # to evaluate split() once; the Generate path evaluates its
+    # generator without subexpression elimination and the optimizer
+    # re-derives a pushed filter below it — both variants measured
+    # SLOWER (2.1-2.5 s vs 1.8 s at sf1.0).  The original
+    # filter+project shape (split ~2x per row, CSE within each
+    # operator) stands as the measured best native formulation.
     t = docs.withColumn("toks", toks).where(F.size("toks") >= 15)
     cands = F.array(
         F.element_at("toks", 3), F.element_at("toks", 7),
@@ -1857,8 +1864,15 @@ def _q_masked_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     10) with '{ }' (masked_fill_in_blank_generator.py:110-135 shape)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    t = docs.withColumn(
-        "mask_tok", F.array_max(F.slice(toks, 1, 10))
+    # r7: same explode barrier as multi_choice_docs — without it the
+    # pushed-down not-null/non-empty filter re-evaluated the full
+    # split+slice+array_max per row before the projection did it
+    # again.  Rows and values identical (1:1 explode).
+    t = docs.select(
+        "doc_id", "text",
+        F.explode(
+            F.array(F.array_max(F.slice(toks, 1, 10)))
+        ).alias("mask_tok"),
     ).where(F.col("mask_tok").isNotNull() & (F.col("mask_tok") != ""))
     return t.select(
         "doc_id",

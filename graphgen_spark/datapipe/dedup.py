@@ -1049,23 +1049,27 @@ def embedding_neardup_pairs(
         .select("a", "b")
         .distinct()
     )
+    # no broadcast hint: the planner broadcasts the vector side while
+    # it fits the threshold (it does at bench scale) and falls back to
+    # a shuffled join keyed on id at corpus scale — either way the
+    # vectors cross at most one exchange, never the pair-dedup one
     vecs = base.select(
         "id", "v", norm_expr(F.col("v")).alias("n")
     )
     return (
         candidates
         .join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("id").alias("a"), F.col("v").alias("va"),
                 F.col("n").alias("na"),
-            )),
+            ),
             "a",
         )
         .join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("id").alias("b"), F.col("v").alias("vb"),
                 F.col("n").alias("nb"),
-            )),
+            ),
             "b",
         )
         .select(
