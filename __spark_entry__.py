@@ -85,13 +85,26 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+    # r7: aggregate BEFORE the join (guide §2.3) — the per-customer
+    # sum/count runs with map-side partial aggregation over the narrow
+    # (o_custkey, o_totalprice) projection, and the joins attach
+    # name/nation to ~|customers| aggregated rows instead of widening
+    # every order row first.  c_custkey is the customer PK (name and
+    # nation are functionally dependent), and an order with no
+    # matching customer is dropped by the inner join in BOTH
+    # formulations — rows identical.
+    per_cust = (
+        orders.groupBy(F.col("o_custkey"))
         .agg(
             F.sum("o_totalprice").alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "n_name", "total_spent", "n_orders"
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(20)

@@ -271,7 +271,23 @@ def pages_from_doc_ids(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    return docs.select(id_col).mapInPandas(gen, schema=PAGES_SCHEMA)
+    # r7: widen the id list to the session parallelism BEFORE the
+    # synthesis hop — a small parquet doc table arrives as 2-4 splits,
+    # which would (a) run the page synthesis on a few cores and
+    # (b) leave the materialized pages asset so narrow that every
+    # downstream extraction pass pays a re-repartition of the html
+    # inside its own timed path.  A static derived asset should be
+    # laid out at build time (guide §6); the key is deterministic
+    # (crc32 of the id — §2.5, never rand), and per-id synthesis makes
+    # the VALUES partitioning-invariant.
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    ids = docs.select(id_col)
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(
+            par, F.crc32(F.col(id_col).cast("string"))
+        )
+    return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 ALIAS_SCHEMA = T.StructType(
