@@ -1017,29 +1017,32 @@ def embedding_neardup_pairs(
     cosine arithmetic (dot / (na * nb)) is unchanged, so the output is
     bit-identical."""
     from graphgen_spark.datapipe.similarity import (
+        _planes,
         cosine_from_norms,
-        hyperplane_bucket,
+        hyperplane_buckets_kernel,
         norm_expr,
     )
 
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    # r7b: all n_tables bucket signatures in ONE Arrow strict-fold
+    # kernel pass (bit-identical to the per-table hyperplane_bucket
+    # expressions — see the kernel block in similarity.py; the
+    # interpreted folds cost ~2.8 s alone at the 22k-vector bench
+    # scale).  posexplode's position IS the old lit(t) table id, and
+    # the kernel replicates the expression's NULL/ragged-row semantics
+    # exactly (bucket 0, never NULL — see the kernel block).
+    bucket_udf = hyperplane_buckets_kernel(
+        [_planes(64, n_planes, seed + 1000 * t) for t in range(n_tables)],
+        64,
+    )
     bucketed = base.select(
+        "id", bucket_udf(F.col("v")).alias("bs")
+    ).select(
         "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_bucket(
-                        F.col("v"), n_planes, seed + 1000 * t
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])
-        ).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket"))
+        F.posexplode(F.col("bs")).alias("tbl", "bucket"),
+    ).select("id", "tbl", "bucket")
     bucketed = _persist(bucketed)  # both sides of the bucket self-join
     left = bucketed.select(F.col("id").alias("a"), "tbl", "bucket")
     right = bucketed.select(F.col("id").alias("b"), "tbl", "bucket")

@@ -13,9 +13,13 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -77,6 +81,246 @@ def _matrix_lit(rows) -> Column:
     return F.expr(
         "array(" + ",".join(_vec_sql(r) for r in rows) + ")"
     )
+
+
+# --------------------------------------------------------------------
+# Arrow strict-fold kernels (r7).
+#
+# Spark's higher-order functions (zip_with / aggregate / transform
+# lambdas) are CodegenFallback: every element of every fold is an
+# interpreted expression-tree walk.  Measured at the 20k-vector bench
+# scale, the 16-centroid IVF cell assignment costs ~2.1 s and the
+# 3-table hyperplane bucketing ~2.8 s — ~100 µs/row for what is
+# arithmetically a few thousand flops (guide §1.2/§4.2: vectorize the
+# kernel, keep the boundary narrow).  Unrolling the folds into plain
+# left-associated arithmetic was measured FIRST and is slower: janino
+# refuses the 64-deep expression (codegen falls back to interpreting a
+# 64-node Add chain per term).
+#
+# These kernels move the folds into numpy with the EXACT SQL
+# evaluation order — products elementwise, then a sequential
+# left-fold ``acc = acc + term_i`` starting from 0.0 (one vectorized
+# numpy add per dimension, never np.sum/np.dot, which use pairwise
+# summation) — so every produced double is bit-identical to the
+# ``aggregate(zip_with(...))`` fold, and every derived sign/bucket/
+# cell/norm is too (pinned by tests/test_similarity_kernels.py, and
+# by the frozen DuckDB oracles end to end).
+#
+# Boundary semantics replicated from the SQL expressions (note the
+# transform/fold iterate the LITERAL plane/centroid matrix, never the
+# vector, so a NULL or ragged vector does NOT null the result):
+# - NULL vector: every dot is NULL -> per-plane CASE-else 0 -> bucket
+#   0; every IVF sim NULL -> max-struct tie-break -> LARGEST cell id;
+#   the norm (a fold over the vector itself) IS NULL.
+# - ragged vector (len != dim): zip_with pads with NULL -> NULL dot
+#   -> same as above, except the norm still folds the row's own
+#   elements.  (Scalar fallback path; exercised by tests.)
+# - NaN doubles compare as larger-than-everything (Spark's ordering
+#   semantics for >= and for struct max) — the kernels use
+#   ``(dot >= 0) | isnan(dot)`` and argmax-over-reversed-cells to
+#   match, test-pinned on NaN/±inf rows.
+# - Documented assumption (same class as the tokenizer-parity note in
+#   dedup.py): vectors carry no NULL *elements* — Arrow hands inner
+#   nulls to pandas as NaN, which SQL would treat as NULL-propagating
+#   instead of NaN-comparing.  Every caller feeds parquet float
+#   arrays (non-null by construction) or arithmetic thereof.
+
+
+def _strict_dots(M: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """(n, dim) x (k, dim) -> (n, k) dot products with the SQL fold's
+    exact IEEE op order: per-element product, then sequential adds
+    from 0.0."""
+    n = M.shape[0]
+    out = np.empty((n, P.shape[0]), dtype=np.float64)
+    for j in range(P.shape[0]):
+        p = P[j]
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(M.shape[1]):
+            acc = acc + M[:, i] * p[i]
+        out[:, j] = acc
+    return out
+
+
+def _strict_norms(M: np.ndarray) -> np.ndarray:
+    """sqrt of the strict left-fold sum of squares (norm_expr)."""
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for i in range(M.shape[1]):
+        acc = acc + M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _clean_rows(series: pd.Series, dim: int):
+    """Split a pandas Series of Arrow list values into a dense
+    (n_clean, dim) float64 matrix + index arrays.  Rows that are None
+    or whose length != dim take the scalar fallback."""
+    vals = series.to_numpy(dtype=object)
+    n = len(vals)
+    clean = np.empty(n, dtype=bool)
+    for i in range(n):
+        v = vals[i]
+        clean[i] = v is not None and len(v) == dim
+    idx = np.nonzero(clean)[0]
+    if len(idx):
+        M = np.empty((len(idx), dim), dtype=np.float64)
+        for r, i in enumerate(idx):
+            M[r, :] = vals[i]
+    else:
+        M = np.empty((0, dim), dtype=np.float64)
+    return vals, M, idx, np.nonzero(~clean)[0]
+
+
+def _py_fold_dot(v, p) -> float | None:
+    """Scalar replica of aggregate(zip_with(v, p, x*y), 0.0, acc+v):
+    zip_with pads the shorter side with NULL; a NULL product makes the
+    fold NULL from that point on (so the result is NULL)."""
+    ln = max(len(v), len(p))
+    acc = 0.0
+    for i in range(ln):
+        if i >= len(v) or i >= len(p):
+            return None
+        x, y = v[i], p[i]
+        if x is None or y is None:
+            return None
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _py_fold_norm(v) -> float | None:
+    acc = 0.0
+    for x in v:
+        if x is None:
+            return None
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _gte_zero(dot: float | None) -> bool:
+    """CASE WHEN dot >= 0 with Spark double semantics: NULL -> else
+    branch; NaN compares larger than everything."""
+    if dot is None:
+        return False
+    return math.isnan(dot) or dot >= 0.0
+
+
+def hyperplane_buckets_kernel(
+    plane_sets: list, dim: int = 64
+):
+    """pandas UDF: vector -> array<long> of one sign-bit bucket per
+    plane set, bit-identical to ``hyperplane_bucket`` per table."""
+    mats = [np.asarray(p, dtype=np.float64) for p in plane_sets]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def k(series: pd.Series) -> pd.Series:
+        vals, M, idx, odd = _clean_rows(series, dim)
+        out = np.empty(len(vals), dtype=object)
+        per_table = []
+        for P in mats:
+            dots = _strict_dots(M, P)
+            signs = (dots >= 0) | np.isnan(dots)
+            weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+            per_table.append(signs @ weights)
+        for r, i in enumerate(idx):
+            out[i] = [int(b[r]) for b in per_table]
+        for i in odd:
+            # the transform/fold iterate the LITERAL plane matrix, so
+            # a NULL vector still folds n_planes CASE-else zeros into
+            # bucket 0 — never a NULL bucket (test-pinned)
+            v = vals[i]
+            row = []
+            for P in mats:
+                b = 0
+                for pi in range(P.shape[0]):
+                    d = None if v is None else _py_fold_dot(v, P[pi])
+                    if _gte_zero(d):
+                        b += 1 << pi
+                row.append(b)
+            out[i] = row
+        return pd.Series(list(out))
+
+    return k
+
+
+def ivf_cell_kernel(cents: np.ndarray, dim: int = 64):
+    """pandas UDF: vector -> nearest-centroid cell id (max over
+    struct(sim, cell): sim DESC, cell DESC tie-break), bit-identical
+    to the expression path (sim = strict_dot / (strict_norm *
+    cn_lit), where cn_lit is the same folded-norm literal
+    ``ivf_topk`` inlines).  The vector's own norm is NOT returned:
+    Arrow's pandas serializer nulls NaN doubles on the way back, so a
+    NaN norm (NaN-polluted vector) could not round-trip faithfully —
+    callers keep ``norm_expr`` for the norm column (one fold per row,
+    the cheap part; the 16-dot cell score is what the kernel
+    replaces)."""
+    C = np.asarray(cents, dtype=np.float64)
+    cn_lits = np.array([_py_fold_norm(C[i]) for i in range(len(C))])
+
+    @F.pandas_udf(T.IntegerType())
+    def k(series: pd.Series) -> pd.Series:
+        vals, M, idx, odd = _clean_rows(series, dim)
+        cell_out = np.empty(len(vals), dtype=object)
+        if len(idx):
+            dots = _strict_dots(M, C)
+            vn = _strict_norms(M)
+            den = vn[:, None] * cn_lits[None, :]
+            # ANSI divide parity: the expression path raises
+            # DIVIDE_BY_ZERO on a zero-norm vector (divisor == 0.0 is
+            # checked before the numerator) — fail just as loudly
+            if np.any(den == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm vector in IVF cell "
+                    "assignment (ANSI-divide parity with the "
+                    "expression path)"
+                )
+            with np.errstate(invalid="ignore", over="ignore"):
+                sims = dots / den
+            # max struct(sim, cell): NaN largest, ties -> larger cell.
+            # argmax over the column-reversed matrix returns the first
+            # max (or first NaN) in reversed order = the LARGEST cell.
+            rev = sims[:, ::-1]
+            cells = (C.shape[0] - 1) - np.argmax(rev, axis=1)
+            for r, i in enumerate(idx):
+                cell_out[i] = int(cells[r])
+        for i in odd:
+            # transform iterates the LITERAL centroid array, so a NULL
+            # vector still yields 16 (sim=NULL, cell) structs; the
+            # max-struct tie-break then picks the LARGEST cell id —
+            # never a NULL cell (test-pinned)
+            v = vals[i]
+            vn_i = None if v is None else _py_fold_norm(v)
+            best_sim, best_cell = None, None
+            for ci in range(C.shape[0]):
+                d = None if v is None else _py_fold_dot(v, C[ci])
+                den = None if vn_i is None else vn_i * cn_lits[ci]
+                # ANSI divide checks the numerator first: NULL dot ->
+                # NULL sim with no divisor-zero error
+                if d is not None and den is not None and den == 0.0:
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in IVF "
+                        "cell assignment (ANSI-divide parity)"
+                    )
+                sim = None if d is None or den is None else d / den
+                if best_cell is None or _struct_gte(sim, best_sim):
+                    best_sim, best_cell = sim, ci
+            cell_out[i] = best_cell
+        return pd.Series(list(cell_out))
+
+    return k
+
+
+def _struct_gte(sim, best) -> bool:
+    """sim >= best under Spark's double ordering (NULL smallest, NaN
+    largest, -0.0 == 0.0) — used ascending-cell so ties keep the
+    larger cell, matching max(struct(sim, cell))."""
+    if sim is None:
+        return best is None
+    if best is None:
+        return True
+    a_nan, b_nan = math.isnan(sim), math.isnan(best)
+    if a_nan:
+        return True
+    if b_nan:
+        return False
+    return sim >= best
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42,
@@ -163,11 +407,18 @@ def lsh_topk(
     # sentinels differ per side, so a NULL vector still matches
     # nothing — exactly the inner-join-on-NULL behavior of the old
     # plan.
+    # r7b: corpus-side bucket via the Arrow strict-fold kernel (the
+    # interpreted per-plane folds were the scan's dominant cost); the
+    # tiny broadcast query side keeps the expression path — safe
+    # because kernel and expression are bit-identical per vector.
+    bucket_udf = hyperplane_buckets_kernel(
+        [_planes(64, n_planes, seed)], 64
+    )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_expr(F.col(vec_col)).alias("cn"),
         F.coalesce(
-            hyperplane_bucket(F.col(vec_col), n_planes, seed),
+            F.element_at(bucket_udf(F.col(vec_col)), 1),
             F.lit(-1).cast("long"),
         ).alias("bucket"),
     )
@@ -397,17 +648,21 @@ def ivf_topk(
     # (guide §4.4 duplication; measured ~2x this stage).  A NULL
     # vector's cell becomes -1, which no query probe (always a literal
     # cell id) can match — identical inner-join semantics.
+    #
+    # r7b: the corpus-side cell assignment runs in the Arrow
+    # strict-fold kernel — the interpreted transform/aggregate chain
+    # cost ~2.1 s alone at the 20k-vector bench scale (~100 µs/row;
+    # projection collapse also re-inlined the norm fold into each of
+    # the 16 cell lambdas).  The kernel emits the identical cell id
+    # (see the kernel-block comment + tests); the norm stays a JVM
+    # fold evaluated once per row, and the tiny query side keeps the
+    # expression path — safe because kernel and expression are
+    # bit-identical on the same vector.
+    cell_udf = ivf_cell_kernel(cents, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm_expr(F.col(vec_col)).alias("cn"),
-    ).select(
-        "neighbor_id", "cv", "cn",
-        F.coalesce(
-            F.array_max(
-                cell_scores(F.col("cv"), F.col("cn"))
-            )["cell"],
-            F.lit(-1),
-        ).alias("cell"),
+        F.coalesce(cell_udf(F.col(vec_col)), F.lit(-1)).alias("cell"),
     )
     q = F.broadcast(
         queries.select(
