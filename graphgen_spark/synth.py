@@ -271,23 +271,20 @@ def pages_from_doc_ids(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    # r7: widen the id list to the session parallelism BEFORE the
-    # synthesis hop — a small parquet doc table arrives as 2-4 splits,
-    # which would (a) run the page synthesis on a few cores and
-    # (b) leave the materialized pages asset so narrow that every
-    # downstream extraction pass pays a re-repartition of the html
-    # inside its own timed path.  A static derived asset should be
-    # laid out at build time (guide §6); the key is deterministic
-    # (crc32 of the id — §2.5, never rand), and per-id synthesis makes
-    # the VALUES partitioning-invariant.
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    ids = docs.select(id_col)
-    if ids.rdd.getNumPartitions() < par:
-        ids = ids.repartition(
-            par, F.crc32(F.col(id_col).cast("string"))
-        )
-    return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
+    # r7: a widen-to-defaultParallelism repartition was TRIED here
+    # (lay the static asset out wide at build time so the extraction
+    # path's adaptive repartition never fires in a timed batch) and
+    # REVERTED on full-suite measurement: it saved ~0.27 s on the
+    # sf1.0 headline but cost ~0.45-0.65 s on every downstream
+    # window consumer of the asset (pages_host_cap 0.17 -> 0.75 s at
+    # sf0.1, 0.26 -> 0.93 s at the 10x replica — 32 shuffle-map tasks
+    # of fixed overhead over a few thousand rows), and slowed the
+    # sf0.1 headline too (0.71 -> 0.94 s).  It is also the wrong
+    # shape at scale: the input split count is byte-adaptive already,
+    # so a real corpus arrives wide and the widening only ever fired
+    # in the small-corpus regime where it loses.  Per-id synthesis
+    # keeps the VALUES partitioning-invariant either way.
+    return docs.select(id_col).mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 ALIAS_SCHEMA = T.StructType(

@@ -29,7 +29,7 @@ plus wall times.  Prints one JSON line; record the table in
 BASELINE.md.
 
 Usage: spark-submit --master local[8] tools/louvain_gate_probe.py \
-           [K] [S] [gate]
+           [K] [S] [gate] [family: planted|hier|heavytail]
 """
 
 import json
@@ -46,46 +46,122 @@ from graphgen_spark.operators.partitioners import leiden_partition
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 GATE = int(sys.argv[3]) if len(sys.argv) > 3 else 80_000
+# r7 (VERDICT r6 #6): graph families beyond the original planted
+# ring+chord chain, chosen where greedy modularity is KNOWN to
+# struggle —
+#   planted    K communities of S (ring + chord), bridge-chained
+#   hier       nested: K/5 macro-communities x 5 sub-communities of S
+#              each; dense intra-sub, 10 cross-sub edges per adjacent
+#              sub pair inside a macro, single bridges between macros.
+#              Ground truth = the SUB level; greedy methods tend to
+#              merge subs into macros (resolution limit).
+#   heavytail  K hub-and-spoke communities (hub degree ~S, members
+#              ring-connected), hubs chained, PLUS 10 super-hubs of
+#              degree K/10 attached to hubs — a heavy-tailed degree
+#              profile where hub attraction misleads greedy moves.
+FAMILY = sys.argv[4] if len(sys.argv) > 4 else "planted"
 
 spark = SparkSession.builder.appName("louvain_gate_probe").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 n_nodes = K * S
+
+
+def _ids_to_edges(pairs):
+    return pairs.select(
+        F.format_string("n%07d", F.col("u")).alias("src_id"),
+        F.format_string("n%07d", F.col("v")).alias("tgt_id"),
+        F.lit("r").alias("description"),
+        F.lit(4).cast("long").alias("length"),
+    )
+
+
+base = spark.range(n_nodes).select(
+    (F.col("id") / S).cast("long").alias("c"),
+    (F.col("id") % S).alias("i"),
+    F.col("id"),
+)
+
+if FAMILY == "planted":
+    # intra-community ring (i -> i+1 mod S) + chords (i -> i+5 mod
+    # S): locally dense; bridge chain c -> c+1 keeps one component
+    ring = base.select(
+        F.col("id").alias("u"),
+        (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
+    )
+    chord = base.select(
+        F.col("id").alias("u"),
+        (F.col("c") * S + (F.col("i") + 5) % S).alias("v"),
+    )
+    bridge = spark.range(K - 1).select(
+        (F.col("id") * S).alias("u"),
+        ((F.col("id") + 1) * S).alias("v"),
+    )
+    id_pairs = ring.unionByName(chord).unionByName(bridge)
+    planted_comm = F.col("c")  # over base ids
+elif FAMILY == "hier":
+    G = 5                      # subs per macro; K must divide by G
+    ring = base.select(
+        F.col("id").alias("u"),
+        (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
+    )
+    chord = base.select(
+        F.col("id").alias("u"),
+        (F.col("c") * S + (F.col("i") + 5) % S).alias("v"),
+    )
+    # 10 cross-sub edges between adjacent subs of the same macro:
+    # node i of sub c <-> node i of sub c+1, i < 10 (skipping the
+    # last sub of each macro)
+    cross = base.where(
+        (F.col("i") < 10) & ((F.col("c") % G) != G - 1)
+    ).select(
+        F.col("id").alias("u"),
+        ((F.col("c") + 1) * S + F.col("i")).alias("v"),
+    )
+    # single bridge between consecutive macros (node 0 of each
+    # macro's first sub)
+    bridge = spark.range(K // G - 1).select(
+        (F.col("id") * G * S).alias("u"),
+        ((F.col("id") + 1) * G * S).alias("v"),
+    )
+    id_pairs = (
+        ring.unionByName(chord).unionByName(cross).unionByName(bridge)
+    )
+    planted_comm = F.col("c")  # ground truth at the SUB level
+elif FAMILY == "heavytail":
+    N_SUPER = 10
+    hub_star = base.where(F.col("i") > 0).select(
+        (F.col("c") * S).alias("u"), F.col("id").alias("v")
+    )
+    ring = base.select(
+        F.col("id").alias("u"),
+        (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
+    )
+    hub_chain = spark.range(K - 1).select(
+        (F.col("id") * S).alias("u"), ((F.col("id") + 1) * S).alias("v")
+    )
+    # super-hub s (ids n_nodes..n_nodes+9) attached to the hub of
+    # every community c with c % N_SUPER == s: degree K/N_SUPER
+    super_edges = spark.range(K).select(
+        (F.lit(n_nodes) + F.col("id") % N_SUPER).alias("u"),
+        (F.col("id") * S).alias("v"),
+    )
+    id_pairs = (
+        hub_star.unionByName(ring).unionByName(hub_chain)
+        .unionByName(super_edges)
+    )
+    planted_comm = F.col("c")
+    n_nodes = n_nodes + N_SUPER
+else:
+    raise SystemExit(f"unknown family: {FAMILY}")
+
 nodes = spark.range(n_nodes).select(
     F.format_string("n%07d", F.col("id")).alias("entity_name"),
     F.lit("ORG").alias("entity_type"),
     F.lit("d").alias("description"),
     F.lit(3).cast("long").alias("length"),
 )
-# intra-community ring (i -> i+1 mod S) + chords (i -> i+5 mod S):
-# locally dense, diameter ~S/10, every community internally connected
-base = spark.range(n_nodes).select(
-    (F.col("id") / S).cast("long").alias("c"),
-    (F.col("id") % S).alias("i"),
-    F.col("id"),
-)
-ring = base.select(
-    F.col("id").alias("u"),
-    (F.col("c") * S + (F.col("i") + 1) % S).alias("v"),
-)
-chord = base.select(
-    F.col("id").alias("u"),
-    (F.col("c") * S + (F.col("i") + 5) % S).alias("v"),
-)
-# bridge chain c -> c+1 through node 0 of each community: one component
-bridge = spark.range(K - 1).select(
-    (F.col("id") * S).alias("u"), ((F.col("id") + 1) * S).alias("v")
-)
-edges = (
-    ring.unionByName(chord).unionByName(bridge)
-    .select(
-        F.format_string("n%07d", F.col("u")).alias("src_id"),
-        F.format_string("n%07d", F.col("v")).alias("tgt_id"),
-        F.lit("r").alias("description"),
-        F.lit(4).cast("long").alias("length"),
-    )
-    .localCheckpoint(eager=True)
-)
+edges = _ids_to_edges(id_pairs).localCheckpoint(eager=True)
 nodes = nodes.localCheckpoint(eager=True)
 n_edges = edges.count()
 n_units = n_nodes + n_edges
@@ -153,7 +229,7 @@ q_gated = modularity(mem_gated)
 import math
 
 print(json.dumps({
-    "probe": "louvain_gate",
+    "probe": "louvain_gate", "family": FAMILY,
     "K": K, "S": S, "n_units": n_units, "gate": GATE,
     "n_buckets": math.ceil(n_units / GATE),
     "q_planted": round(q_planted, 4),
