@@ -1017,10 +1017,10 @@ def embedding_neardup_pairs(
     cosine arithmetic (dot / (na * nb)) is unchanged, so the output is
     bit-identical."""
     from graphgen_spark.datapipe.similarity import (
+        _dot_sql,
+        _norm_sql,
         _planes,
-        cosine_from_norms,
         hyperplane_buckets_kernel,
-        norm_expr,
     )
 
     base = emb.select(
@@ -1056,30 +1056,18 @@ def embedding_neardup_pairs(
     # it fits the threshold (it does at bench scale) and falls back to
     # a shuffled join keyed on id at corpus scale — either way the
     # vectors cross at most one exchange, never the pair-dedup one
-    vecs = base.select(
-        "id", "v", norm_expr(F.col("v")).alias("n")
-    )
+    vecs = base.selectExpr("id", "v", f"{_norm_sql('v')} AS n")
     return (
         candidates
         .join(
-            vecs.select(
-                F.col("id").alias("a"), F.col("v").alias("va"),
-                F.col("n").alias("na"),
-            ),
-            "a",
+            vecs.selectExpr("id AS a", "v AS va", "n AS na"), "a"
         )
         .join(
-            vecs.select(
-                F.col("id").alias("b"), F.col("v").alias("vb"),
-                F.col("n").alias("nb"),
-            ),
-            "b",
+            vecs.selectExpr("id AS b", "v AS vb", "n AS nb"), "b"
         )
-        .select(
+        .selectExpr(
             "a", "b",
-            cosine_from_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
+            f"{_dot_sql('va', 'vb')} / (na * nb) AS cosine",
         )
         .where(F.col("cosine") >= threshold)
     )

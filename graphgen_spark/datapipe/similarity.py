@@ -63,6 +63,42 @@ def _planes(dim: int, n_planes: int, seed: int) -> list:
     return rng.randn(n_planes, dim).tolist()
 
 
+# SQL-text twins of dot_expr/norm_expr/hyperplane_bucket, for building
+# whole projections as ONE parsed expression each (r7b: query-build
+# latency is py4j round-trip-bound — ~1000 socket round trips ≈
+# 0.4-0.6 s per embedding-query build, paid on every bench rep; a
+# selectExpr string is one round trip).  The text parses to the same
+# operators with the same literals (0D = double 0.0) and the same
+# left-fold order, so results are bit-identical to the Column
+# builders — pinned by test_sql_text_twins_bit_identical.  Lambda
+# variables avoid single-letter names that could shadow value columns.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+        "(acc, t) -> acc + t)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, t) -> acc + t * t))"
+
+
+def _bucket_sql(vec: str, n_planes: int, seed: int,
+                dim: int = 64) -> str:
+    pmat = "array(" + ",".join(
+        _vec_sql(r) for r in _planes(dim, n_planes, seed)
+    ) + ")"
+    return (
+        f"aggregate(transform({pmat}, (p, i) -> CASE WHEN "
+        f"{_dot_sql(vec, 'p')} >= 0 THEN "
+        "CAST(pow(2.0D, CAST(i AS DOUBLE)) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), "
+        "(acc, t) -> acc + t)"
+    )
+
+
 def _vec_sql(vals) -> str:
     """SQL text for an array<double> literal.  repr() is the shortest
     round-trip form, and Java's Double.parseDouble of that form yields
@@ -362,25 +398,23 @@ def brute_force_topk(
     The query side is broadcast — at 100 TB the corpus side streams
     through executors once; cost is |Q| dot products per corpus row."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            norm_expr(F.col(vec_col)).alias("qn"),
+        queries.selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv",
+            f"{_norm_sql(vec_col)} AS qn",
         )
     )
     # per-side norms computed once (r7): |Q| x |C| pairs each paid 3
     # aggregate folds; now each row pays its norm once and each pair
     # one dot — same dot/(na*nb) arithmetic, float-identical
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cv",
+        f"{_norm_sql(vec_col)} AS cn",
     )
     scored = q.crossJoin(c).where(
         F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    ).selectExpr(
         "query_id", "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-        ).alias("cosine"),
+        f"{_dot_sql('qv', 'cv')} / (qn * cn) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -409,36 +443,34 @@ def lsh_topk(
     # plan.
     # r7b: corpus-side bucket via the Arrow strict-fold kernel (the
     # interpreted per-plane folds were the scan's dominant cost); the
-    # tiny broadcast query side keeps the expression path — safe
+    # tiny broadcast query side keeps the expression path (built as
+    # ONE parsed SQL string — see the _dot_sql block comment) — safe
     # because kernel and expression are bit-identical per vector.
     bucket_udf = hyperplane_buckets_kernel(
         [_planes(64, n_planes, seed)], 64
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        F.expr(_norm_sql(vec_col)).alias("cn"),
         F.coalesce(
             F.element_at(bucket_udf(F.col(vec_col)), 1),
             F.lit(-1).cast("long"),
         ).alias("bucket"),
     )
     qb = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            norm_expr(F.col(vec_col)).alias("qn"),
-            F.coalesce(
-                hyperplane_bucket(F.col(vec_col), n_planes, seed),
-                F.lit(-2).cast("long"),
-            ).alias("bucket"),
+        queries.selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv",
+            f"{_norm_sql(vec_col)} AS qn",
+            "coalesce({b}, CAST(-2 AS BIGINT)) AS bucket".format(
+                b=_bucket_sql(vec_col, n_planes, seed)
+            ),
         )
     )
     scored = qb.join(cb, "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    ).selectExpr(
         "query_id", "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-        ).alias("cosine"),
+        f"{_dot_sql('qv', 'cv')} / (qn * cn) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -624,23 +656,12 @@ def ivf_topk(
     # one parsed SQL literal for the whole centroid table (see
     # _matrix_lit: element-wise F.lit cost ~1 s of py4j round trips
     # per query build at n_cells=16)
-    cell_lits = F.expr(
-        "array(" + ",".join(
-            "named_struct('c', {}, 'cn', {!r}D, 'cell', {})".format(
-                _vec_sql(cents[i]), float(_fold_norm(cents[i])), i
-            )
-            for i in range(n_cells)
-        ) + ")"
-    )
-
-    def cell_scores(vec: Column, vn: Column) -> Column:
-        return F.transform(
-            cell_lits,
-            lambda s: F.struct(
-                (dot_expr(vec, s["c"]) / (vn * s["cn"])).alias("sim"),
-                s["cell"].alias("cell"),
-            ),
+    cells_sql = "array(" + ",".join(
+        "named_struct('c', {}, 'cn', {!r}D, 'cell', {})".format(
+            _vec_sql(cents[i]), float(_fold_norm(cents[i])), i
         )
+        for i in range(n_cells)
+    ) + ")"
 
     # coalesce(cell, -1) makes the join key non-nullable so the planner
     # does not infer an IsNotNull(cell) filter that would re-evaluate
@@ -661,24 +682,25 @@ def ivf_topk(
     cell_udf = ivf_cell_kernel(cents, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        F.expr(_norm_sql(vec_col)).alias("cn"),
         F.coalesce(cell_udf(F.col(vec_col)), F.lit(-1)).alias("cell"),
     )
+    # query side and pair scoring built as whole selectExpr strings
+    # (one py4j round trip each — see the _dot_sql block comment); the
+    # parsed operators, literals and fold order are identical to the
+    # old Column-builder formulation, bit-for-bit
+    probe_sql = (
+        "explode(slice(reverse(array_sort(transform({cells}, s -> "
+        "named_struct('sim', {dot} / (qn * s.cn), 'cell', s.cell)"
+        "))), 1, {np}))"
+    ).format(cells=cells_sql, dot=_dot_sql("qv", "s.c"), np=nprobe)
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            norm_expr(F.col(vec_col)).alias("qn"),
-        ).select(
-            "query_id", "qv", "qn",
-            F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(
-                        cell_scores(F.col("qv"), F.col("qn"))
-                    )),
-                    1, nprobe,
-                )
-            ).alias("probe"),
-        ).select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
+        queries.selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv",
+            f"{_norm_sql(vec_col)} AS qn",
+        ).selectExpr(
+            "query_id", "qv", "qn", f"{probe_sql} AS probe",
+        ).selectExpr("query_id", "qv", "qn", "probe.cell AS cell")
     )
     # every corpus row lives in exactly one cell and a query's nprobe
     # probes are distinct cells, so a (query, neighbor) pair matches
@@ -686,11 +708,9 @@ def ivf_topk(
     # shuffle and is dropped (r7; output rows identical)
     scored = q.join(c, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    ).selectExpr(
         "query_id", "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-        ).alias("cosine"),
+        f"{_dot_sql('qv', 'cv')} / (qn * cn) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
