@@ -726,9 +726,31 @@ def simhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
+# measured r7 crossover for the per-bucket Hamming kernel vs the JVM
+# band self-join (see simhash_dup_pairs docstring): the kernel's flat
+# costs lose below ~10k docs and win quadratically-in-bucket-occupancy
+# above.  Expressed as the input's Catalyst sizeInBytes (~120
+# compressed bytes/doc on parquet corpora => ~10k docs) — a free
+# driver-side statistic, never a job and never a host property; when
+# the statistic is unknown (in-memory frames report Long.MaxValue)
+# the kernel path is chosen, the correct direction at scale.
+SIMHASH_KERNEL_MIN_BYTES = 1_200_000
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
+
 def simhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
+    kernel: bool | None = None,
 ) -> DataFrame:
     """(a, b, hamming): banded SimHash blocking (pigeonhole: any pair
     within Hamming distance < bands shares at least one exact band),
@@ -753,9 +775,13 @@ def simhash_dup_pairs(
     Crossover (measured r7): the kernel's fixed cost (one repartition
     + a Python hop) loses to the JVM join below ~10k docs (sf0.1:
     0.37 -> 0.62 s) and wins 3.7x at 50k docs (5.1 -> 1.4 s), with the
-    gap widening quadratically in bucket occupancy — at dedup scale
-    the kernel is strictly the right shape; tiny corpora pay ~0.25 s
-    of flat overhead."""
+    gap widening quadratically in bucket occupancy.  ``kernel=None``
+    (default) picks the path from the input's Catalyst size statistic
+    at the measured crossover — free on the driver, no extra job
+    (VERDICT r6 #4's adaptive-path pattern); both formulations are
+    pinned identical by test_kernel_matches_join_formulation."""
+    if kernel is None:
+        kernel = _plan_size_bytes(docs) >= SIMHASH_KERNEL_MIN_BYTES
     sigs = _persist(simhash_signatures(docs, text_col, id_col))
     # scanned by both sides of the band self-join
     width = 64 // bands
@@ -772,6 +798,31 @@ def simhash_dup_pairs(
         "doc_id", "simhash",
         F.explode(F.array(*band_structs)).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
+
+    if not kernel:
+        # small corpus: the straight band self-join + bit_count wins
+        # (its candidate stream is small enough that the join beats
+        # the kernel's flat repartition + Python-hop cost)
+        left = banded.select(
+            F.col("doc_id").alias("a"),
+            F.col("simhash").alias("sig_a"), "band", "key",
+        )
+        right = banded.select(
+            F.col("doc_id").alias("b"),
+            F.col("simhash").alias("sig_b"), "band", "key",
+        )
+        return (
+            left.join(right, ["band", "key"])
+            .where(F.col("a") < F.col("b"))
+            .select(
+                "a", "b",
+                F.bit_count(
+                    F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+                ).alias("hamming"),
+            )
+            .distinct()
+            .where(F.col("hamming") <= max_hamming)
+        )
 
     spark = docs.sparkSession
     n_part = spark.sparkContext.defaultParallelism

@@ -270,10 +270,14 @@ class TestSimHash:
         docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
         for max_hamming, bands in [(3, 4), (7, 8), (0, 4)]:
+            # kernel=True forces the bucket kernel (this corpus is
+            # below the adaptive crossover, where the default takes
+            # the join path — which would compare join vs join)
             new = {
                 (r["a"], r["b"], r["hamming"])
                 for r in simhash_dup_pairs(
-                    docs, max_hamming=max_hamming, bands=bands
+                    docs, max_hamming=max_hamming, bands=bands,
+                    kernel=True,
                 ).collect()
             }
             # old formulation, inline (band self-join + bit_count)
