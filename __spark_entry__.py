@@ -55,7 +55,17 @@ def _pages_views(spark: SparkSession, sf_dir: str):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         cur = docs.rdd.getNumPartitions()
         par = spark.sparkContext.defaultParallelism
-        n = docs.count()
+        # row count from the parquet footer — free on the driver, no
+        # Spark job (the same no-extra-action discipline as the
+        # simhash sizeInBytes gate)
+        import pyarrow.parquet as _pq
+
+        try:
+            n = _pq.read_metadata(
+                f"{sf_dir}/documents.parquet"
+            ).num_rows
+        except Exception:  # multi-file layout etc.: one cheap job
+            n = docs.count()
         want = max(cur, min(par, -(-n // _PAGES_DOCS_PER_PARTITION)))
         src = docs
         if want > cur:

@@ -731,9 +731,11 @@ def simhash_signatures(
 # costs lose below ~10k docs and win quadratically-in-bucket-occupancy
 # above.  Expressed as the input's Catalyst sizeInBytes (~120
 # compressed bytes/doc on parquet corpora => ~10k docs) — a free
-# driver-side statistic, never a job and never a host property; when
-# the statistic is unknown (in-memory frames report Long.MaxValue)
-# the kernel path is chosen, the correct direction at scale.
+# driver-side statistic, never a job and never a host property.
+# In-memory frames (LocalRelation) report their actual computed size,
+# so small test corpora take the join path like small parquet ones;
+# only a failed statistics lookup falls back to the kernel path (the
+# correct direction at scale).
 SIMHASH_KERNEL_MIN_BYTES = 1_200_000
 
 

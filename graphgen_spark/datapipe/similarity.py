@@ -34,7 +34,7 @@ def dot_expr(a: Column, b: Column) -> Column:
 
 def norm_expr(a: Column) -> Column:
     """Euclidean norm of an array column — the exact left-fold sum of
-    squares ``cosine_expr`` uses, factored out so callers can compute
+    squares the pairwise cosine uses, factored out so callers compute
     it ONCE per row instead of once per scored pair (r7: the norm is
     2/3 of every pairwise cosine's flops; precomputing it per side is
     float-identical because the fold order and the final
@@ -42,20 +42,6 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
-
-
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Native cosine similarity over two array columns (stays in
-    codegen: zip_with + aggregate, no UDF)."""
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
-
-
-def cosine_from_norms(
-    a: Column, b: Column, na: Column, nb: Column
-) -> Column:
-    """cosine_expr with the two norms supplied as (precomputed)
-    columns — identical IEEE arithmetic: dot / (na * nb)."""
-    return dot_expr(a, b) / (na * nb)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list:
@@ -645,20 +631,15 @@ def ivf_topk(
     # corpus-side argmax is array_max (same struct ordering as
     # reverse(array_sort)[0]: max (sim, cell) == sim DESC, cell DESC
     # tie-break) instead of a full 16-element sort per row.
-    def _fold_norm(row) -> float:
-        acc = 0.0
-        for v in row:
-            acc = acc + float(v) * float(v)
-        import math
-
-        return math.sqrt(acc)
-
     # one parsed SQL literal for the whole centroid table (see
     # _matrix_lit: element-wise F.lit cost ~1 s of py4j round trips
-    # per query build at n_cells=16)
+    # per query build at n_cells=16).  Centroid norms via the single
+    # module-level strict-fold implementation (_py_fold_norm) — the
+    # SAME function ivf_cell_kernel folds into cn_lits, so the two
+    # sides cannot drift.
     cells_sql = "array(" + ",".join(
         "named_struct('c', {}, 'cn', {!r}D, 'cell', {})".format(
-            _vec_sql(cents[i]), float(_fold_norm(cents[i])), i
+            _vec_sql(cents[i]), float(_py_fold_norm(cents[i])), i
         )
         for i in range(n_cells)
     ) + ")"

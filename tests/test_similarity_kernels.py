@@ -144,6 +144,62 @@ def test_ivf_zero_norm_raises_both_paths(spark):
         df.select(udf(F.col("v")).alias("cc")).collect()
 
 
+def test_sql_text_twins_bit_identical(spark, adversarial_df):
+    """The SQL-text builders (_dot_sql/_norm_sql/_bucket_sql) must be
+    BIT-identical to the Column builders (dot_expr/norm_expr/
+    hyperplane_bucket) — lsh_topk joins corpus buckets from the
+    kernel against query buckets from _bucket_sql, so a drift in
+    either text silently empties the join."""
+    import struct as st
+
+    from graphgen_spark.datapipe.similarity import (
+        _bucket_sql,
+        _dot_sql,
+        _norm_sql,
+        _vec_sql,
+    )
+
+    df = adversarial_df.withColumn("w", F.reverse("v"))
+
+    def bits(x):
+        return None if x is None else st.pack("<d", x)
+
+    # norm
+    exp = {r["id"]: bits(r["x"]) for r in df.select(
+        "id", norm_expr(F.col("v")).alias("x")).collect()}
+    got = {r["id"]: bits(r["x"]) for r in df.selectExpr(
+        "id", f"{_norm_sql('v')} AS x").collect()}
+    assert got == exp
+
+    # dot over two columns
+    exp = {r["id"]: bits(r["x"]) for r in df.select(
+        "id", dot_expr(F.col("v"), F.col("w")).alias("x")).collect()}
+    got = {r["id"]: bits(r["x"]) for r in df.selectExpr(
+        "id", f"{_dot_sql('v', 'w')} AS x").collect()}
+    assert got == exp
+
+    # dot against a literal vector
+    lit = _vec_sql(np.random.RandomState(5).randn(64))
+    exp = {r["id"]: bits(r["x"]) for r in df.select(
+        "id", dot_expr(F.col("v"), F.expr(lit)).alias("x")).collect()}
+    got = {r["id"]: bits(r["x"]) for r in df.selectExpr(
+        "id", f"{_dot_sql('v', lit)} AS x").collect()}
+    assert got == exp
+
+    # hyperplane bucket (the lsh_topk query-side text) vs BOTH the
+    # Column builder and the corpus-side kernel
+    exp = {r["id"]: r["b"] for r in df.select(
+        "id", hyperplane_bucket(F.col("v"), 6, 42).alias("b")
+    ).collect()}
+    got = {r["id"]: r["b"] for r in df.selectExpr(
+        "id", f"{_bucket_sql('v', 6, 42)} AS b").collect()}
+    assert got == exp
+    udf = hyperplane_buckets_kernel([_planes(64, 6, 42)], 64)
+    got_k = {r["id"]: r["bs"][0] for r in df.select(
+        "id", udf(F.col("v")).alias("bs")).collect()}
+    assert got_k == exp
+
+
 def test_bucket_kernel_clean_bulk(spark):
     """Bulk random vectors (the vectorized path, no adversarial rows):
     buckets equal the expression's for every table."""

@@ -98,7 +98,6 @@ if FAMILY == "planted":
         ((F.col("id") + 1) * S).alias("v"),
     )
     id_pairs = ring.unionByName(chord).unionByName(bridge)
-    planted_comm = F.col("c")  # over base ids
 elif FAMILY == "hier":
     G = 5                      # subs per macro; K must divide by G
     ring = base.select(
@@ -127,7 +126,6 @@ elif FAMILY == "hier":
     id_pairs = (
         ring.unionByName(chord).unionByName(cross).unionByName(bridge)
     )
-    planted_comm = F.col("c")  # ground truth at the SUB level
 elif FAMILY == "heavytail":
     N_SUPER = 10
     hub_star = base.where(F.col("i") > 0).select(
@@ -150,7 +148,6 @@ elif FAMILY == "heavytail":
         hub_star.unionByName(ring).unionByName(hub_chain)
         .unionByName(super_edges)
     )
-    planted_comm = F.col("c")
     n_nodes = n_nodes + N_SUPER
 else:
     raise SystemExit(f"unknown family: {FAMILY}")
@@ -210,6 +207,11 @@ def detected_membership(gate):
     ).localCheckpoint(eager=True)
 
 
+# planted ground truth is nid/S for ALL families: planted sub-level
+# communities for `planted`/`hier` (the hier macro level would be
+# nid/(G*S) — deliberately NOT used: the probe measures against the
+# finest planted structure), and for `heavytail` the member
+# communities with the 10 super-hub ids lumping into one extra comm.
 planted = nodes.select(
     "entity_name",
     F.substring("entity_name", 2, 8).cast("long").alias("nid"),
