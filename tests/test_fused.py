@@ -62,3 +62,72 @@ class TestLabelMapSizeGuard:
             label_map_max_rows=0,
         )
         assert _triples(guarded) == _triples(mapside)
+
+
+class TestLabelBroadcastMemo:
+    """r7: the label count/collect/broadcast is memoized ON the labels
+    DataFrame (a static per-release asset) so repeated batches with the
+    same precomputed_labels skip ~0.2 s of per-call driver work."""
+
+    def test_memo_reused_across_calls_identical_triples(self, spark):
+        from graphgen_spark.pipelines import alias_labels
+
+        pages = synth.pages_df(spark, 40, 200)
+        alias = synth.alias_dictionary_df(spark, 200)
+        labels = alias_labels(alias).localCheckpoint(eager=True)
+        out1 = run_kg_pipeline(
+            spark, pages, precomputed_labels=labels,
+            chunk_size=256, chunk_overlap=32, fused=True,
+        )
+        t1 = _triples(out1)
+        memo = getattr(labels, "_gg_label_bc_memo", None)
+        assert memo is not None and memo[1] is not None
+        out2 = run_kg_pipeline(
+            spark, pages, precomputed_labels=labels,
+            chunk_size=256, chunk_overlap=32, fused=True,
+        )
+        # second call reused the memo (same tuple object, not rebuilt)
+        assert labels._gg_label_bc_memo is memo
+        assert _triples(out2) == t1
+
+    def test_memo_keyed_on_threshold(self, spark):
+        """A call with a different label_map_max_rows must NOT reuse a
+        memo built under another threshold — the guard decision is part
+        of the key."""
+        from graphgen_spark.pipelines import alias_labels
+
+        pages = synth.pages_df(spark, 40, 200)
+        alias = synth.alias_dictionary_df(spark, 200)
+        labels = alias_labels(alias).localCheckpoint(eager=True)
+        mapside = run_kg_pipeline(
+            spark, pages, precomputed_labels=labels,
+            chunk_size=256, chunk_overlap=32, fused=True,
+        )
+        assert labels._gg_label_bc_memo[1] is not None
+        guarded = run_kg_pipeline(
+            spark, pages, precomputed_labels=labels,
+            chunk_size=256, chunk_overlap=32, fused=True,
+            label_map_max_rows=0,
+        )
+        # guard re-evaluated: memo now records the guarded (None) path
+        assert labels._gg_label_bc_memo == (0, None)
+        assert _triples(guarded) == _triples(mapside)
+
+
+class TestFusedLazyDocsChunks:
+    def test_fused_docs_chunks_built_on_demand(self, spark):
+        """Fused path defers docs/chunks plan construction; on access
+        they must be the same frames the composed path returns."""
+        pages = synth.pages_df(spark, 40, 200)
+        fused = run_kg_pipeline(
+            spark, pages, chunk_size=256, chunk_overlap=32, fused=True,
+        )
+        composed = run_kg_pipeline(
+            spark, pages, chunk_size=256, chunk_overlap=32, fused=False,
+        )
+        assert fused["docs"].count() == composed["docs"].count() == 40
+        cf = {tuple(r) for r in fused["chunks"].collect()}
+        cc = {tuple(r) for r in composed["chunks"].collect()}
+        assert cf == cc
+        # holistic access still sees every key, like a plain dict
+        assert set(fused.keys()) == set(composed.keys())
