@@ -89,6 +89,33 @@ def _signature(e: DataFrame) -> tuple:
 DRIVER_CC_MAX_EDGES = 200_000
 
 
+def _stats_prove_small(df: DataFrame, bound: int = 8 << 20) -> bool:
+    """True when the Catalyst size statistic PROVES ``df`` is tiny
+    (known statistics at or under ``bound`` bytes) — lets the driver
+    fast paths below collect directly and skip their gate ``count()``
+    job (~0.15-0.3 s of per-call job latency; the alias-dictionary CC
+    pays it on every dict-prep).  Unknown statistics default to
+    ``defaultSizeInBytes`` (astronomically large), so this can only
+    fire for materialized/well-estimated inputs; the row gate is still
+    enforced on the collected length, so the only possible waste is a
+    bounded (≤ ``bound``-byte) collect that then falls through to the
+    distributed path — never a wrong result, never an unbounded
+    collect.  Same decide-from-free-driver-statistics pattern as the
+    simhash kernel crossover (dedup.py)."""
+    try:
+        return (
+            int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            <= bound
+        )
+    except Exception:
+        return False
+
+
 def _driver_union_find(pairs: list) -> list:
     """Local union-find with minimum-id representative — identical
     labels to the distributed fixpoint (component = min member id)."""
@@ -147,13 +174,23 @@ def connected_components_long(
     # NOTE: a limit(gate+1).collect() probe would be one job instead
     # of count+collect, but Spark executes a global limit by funneling
     # the whole upstream into ONE partition — measured 60 s+ on the
-    # sf0.1 KG edge table.  The parallel count stays.
-    n_edges = e.count()
-    if n_edges <= driver_max_edges:
+    # sf0.1 KG edge table.  The parallel count stays — except when the
+    # input's free Catalyst statistic already proves it tiny, where we
+    # collect directly and enforce the SAME row gate on len().
+    pairs = n_edges = None
+    if driver_max_edges and _stats_prove_small(edges):
+        cand = [(r["src"], r["dst"]) for r in e.collect()]
+        if len(cand) <= driver_max_edges:
+            pairs = cand
+        else:
+            n_edges = len(cand)  # exact count, free from the collect
+    if pairs is None and n_edges is None:
+        n_edges = e.count()
+        if n_edges <= driver_max_edges:
+            pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    if pairs is not None:
         # small graph: local union-find (same min-id labels), one job
-        labels = _driver_union_find(
-            [(r["src"], r["dst"]) for r in e.collect()]
-        )
+        labels = _driver_union_find(pairs)
         spark = edges.sparkSession
         # hand the local label list to the JVM as ONE Arrow batch via
         # pandas: the plain-list path converts pickled rows one by one
@@ -235,9 +272,14 @@ def connected_components(
         # numeric label is stable across the threshold and matches the
         # xxhash64(entity_name) singleton fallback consumers use for
         # isolated nodes.
-        n_raw = edges.count()
-        if n_raw <= driver_max_edges:
+        pairs = None
+        if _stats_prove_small(edges):
+            cand = [(r[0], r[1]) for r in edges.collect()]
+            if len(cand) <= driver_max_edges:
+                pairs = cand
+        elif edges.count() <= driver_max_edges:
             pairs = [(r[0], r[1]) for r in edges.collect()]
+        if pairs is not None:
             labels = _driver_union_find(pairs)
             spark = edges.sparkSession
             # one Arrow batch via pandas, not per-row pickled

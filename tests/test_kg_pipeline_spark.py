@@ -373,3 +373,56 @@ class TestCCHybridPaths:
             ).collect()
         }
         assert local == distributed and len(local) > 0
+
+    def test_stats_gate_matches_count_gate(self, spark, monkeypatch):
+        """r7: a materialized tiny input lets the fast path skip the
+        gate count() (collect-first, row gate enforced on len) — the
+        labels must be identical to the count-gated path, and a
+        stats-small input whose ROWS exceed the gate must still fall
+        through to the distributed fixpoint with identical labels."""
+        import graphgen_spark.operators.components as C
+
+        # NOTE: built via a Catalyst plan, not createDataFrame — an
+        # RDD-backed local relation reports defaultSizeInBytes after
+        # checkpoint (unknown stats, gate correctly stays off); a
+        # plan-derived checkpoint propagates its estimate, which is
+        # the shape every real caller (dict-prep, dedup CC) has.
+        df = (
+            spark.range(60)
+            .select(
+                F.concat(
+                    F.lit("a"), F.col("id").cast("string")
+                ).alias("src_id"),
+                F.concat(
+                    F.lit("a"), (F.col("id") % 7).cast("string")
+                ).alias("tgt_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # the checkpointed 60-row frame must be provably small
+        assert C._stats_prove_small(df)
+        via_stats = {
+            tuple(r)
+            for r in C.connected_components(
+                df, assume_materialized=True
+            ).collect()
+        }
+        monkeypatch.setattr(
+            C, "_stats_prove_small", lambda d, bound=0: False
+        )
+        via_count = {
+            tuple(r)
+            for r in C.connected_components(
+                df, assume_materialized=True
+            ).collect()
+        }
+        monkeypatch.undo()
+        assert via_stats == via_count and len(via_stats) > 0
+        # stats fire but rows exceed the gate: distributed fall-through
+        via_fallthrough = {
+            tuple(r)
+            for r in C.connected_components(
+                df, assume_materialized=True, driver_max_edges=5
+            ).collect()
+        }
+        assert via_fallthrough == via_stats
