@@ -27,7 +27,17 @@ _PAGES_CACHE: dict = {}
 # ~docs per synthesis partition when widening the pages asset for the
 # extraction path (scale-expressed: a Python-worker batch worth of
 # synthesis per task; at real corpus sizes the byte-adaptive input
-# split count exceeds the session parallelism and no widening fires)
+# split count exceeds the session parallelism and no widening fires).
+# NOTE (r7 final session, measured): at sf0.1 this leaves the asset
+# at 4 partitions and the pipeline re-shuffles the html 4->32 inside
+# the timed batch — but dropping the floor to reach 32 asset
+# partitions was tried and REVERTED: the 8 MB exchange costs ~0.02 s
+# (records noop 0.57 -> 0.55; Python-task dispatch, not the shuffle,
+# is the stage floor at this scale) while the 32-block asset took
+# pages_host_cap's narrow view from 0.11 to 0.30 s.  4 blocks + one
+# cheap exchange is the measured optimum at suite scale; at the
+# driver's sf1.0 both rules already agree on 32 and no exchange
+# fires.
 _PAGES_DOCS_PER_PARTITION = 1500
 
 
